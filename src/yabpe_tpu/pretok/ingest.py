@@ -1,0 +1,96 @@
+"""Parallel corpus ingestion: files -> pre-token frequency table.
+
+Host-side layer feeding the device-resident trainer. Behavioral parity
+target: /root/reference/src/yet_another_bpe/trainer.py:136-214, with one
+TPU-first difference: instead of materializing every pre-token occurrence as
+a list (ordered, memory-heavy), workers aggregate *frequency counters* of
+unique pre-token byte strings. Pair counts are sums, so aggregation is
+commutative and the result is independent of worker count and scheduling —
+the property the reference only asserts via tests
+(/root/reference/tests/test_trainer.py:148-165) holds here by construction.
+
+The counter output feeds :class:`yabpe_tpu.core.wordtable.WordTable`, the
+fixed-width padded array the device merge loop consumes.
+"""
+
+from __future__ import annotations
+
+from collections import Counter
+from collections.abc import Sequence
+from concurrent.futures import ProcessPoolExecutor, ThreadPoolExecutor
+from pathlib import Path
+
+from yabpe_tpu.pretok import chunking
+from yabpe_tpu.pretok.patterns import compile_trainer_pattern
+
+
+def _count_span(
+    path: str,
+    start: int,
+    end: int,
+    special_tokens: tuple[str, ...],
+) -> Counter[bytes]:
+    """Pre-tokenize one byte span and count unique pre-token byte strings."""
+    data = chunking.read_span(path, start, end)
+    text = chunking.decode_span_utf8(data, path, start)
+    pattern = compile_trainer_pattern(special_tokens)
+    counts: Counter[bytes] = Counter()
+    for tok in pattern.findall(text):
+        if tok:
+            counts[tok.encode("utf-8")] += 1
+    return counts
+
+
+def count_pretokens(
+    files: Sequence[str | Path],
+    special_tokens: Sequence[str],
+    *,
+    chunk_size_bytes: int = 8 * 1024 * 1024,
+    max_workers: int = 8,
+    align_to_newline: bool = False,
+    use_processes: bool = False,
+) -> Counter[bytes]:
+    """Count pre-token occurrences across ``files``.
+
+    Args:
+        files: UTF-8 text files. Raises FileNotFoundError on a missing file.
+        special_tokens: matched as whole pre-tokens (trainer dialect).
+        chunk_size_bytes: span size for parallel workers.
+        max_workers: worker pool size.
+        align_to_newline: end spans at newlines so pre-tokens never straddle
+            spans (see chunking.chunk_spans). Off by default for parity.
+        use_processes: use a process pool (beats the GIL for large corpora;
+            the regex engine holds the GIL for most of a findall call).
+
+    Returns:
+        Counter mapping pre-token UTF-8 bytes to occurrence count.
+    """
+    specials = tuple(special_tokens)
+    tasks: list[tuple[str, int, int]] = []
+    for file in files:
+        p = chunking.ensure_exists(file)
+        for start, end in chunking.chunk_spans(
+            p, chunk_size_bytes, align_to_newline=align_to_newline
+        ):
+            tasks.append((str(p), start, end))
+
+    total: Counter[bytes] = Counter()
+    if not tasks:
+        return total
+    if max_workers <= 1 or len(tasks) == 1:
+        for path, start, end in tasks:
+            total.update(_count_span(path, start, end, specials))
+        return total
+
+    pool_cls = ProcessPoolExecutor if use_processes else ThreadPoolExecutor
+    with pool_cls(max_workers=max_workers) as pool:
+        futures = [
+            pool.submit(_count_span, path, start, end, specials)
+            for path, start, end in tasks
+        ]
+        for fut in futures:
+            total.update(fut.result())
+    return total
+
+
+__all__ = ["count_pretokens"]

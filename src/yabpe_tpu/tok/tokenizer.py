@@ -1,0 +1,202 @@
+"""Byte-level BPE tokenizer: encode/decode with a trained or loaded model.
+
+Public-surface parity target: /root/reference/src/yet_another_bpe/
+tokenizer.py (BBPETokenizer: encode/decode/encode_batch/decode_batch/
+from_file/vocab_size/special_tokens/get_vocab/clear_cache/cache_info).
+
+The per-word encoder uses the *batch-merge* formulation: repeatedly find the
+lowest-rank adjacent pair present in the word, then merge every leftmost-
+non-overlapping occurrence of that one pair, and repeat. This is provably
+equivalent to the reference's one-occurrence-at-a-time heap algorithm
+(tokenizer.py:195-308): a merge of pair (u, v) can only create pairs
+containing the merged token, whose merges were necessarily learned *after*
+(u, v) and therefore rank strictly higher — so every remaining (u, v)
+occurrence is consumed before any newly created pair, and batching them is
+order-safe. The same formulation is what the vectorized device encoder
+(yabpe_tpu.tok.device_encode) runs over padded tiles.
+
+Word-level results are LRU-cached; batch APIs can route through the jitted
+device encoder for throughput.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterable, Iterator, Sequence
+from functools import lru_cache
+from pathlib import Path
+
+from yabpe_tpu.io.native import load_model
+from yabpe_tpu.pretok.patterns import (
+    compile_gpt2_pattern,
+    compile_special_splitter,
+)
+
+_CACHE_SIZE = 8192
+
+
+class BBPETokenizer:
+    """Byte-level BPE tokenizer."""
+
+    def __init__(
+        self,
+        vocab: dict[bytes, int] | None = None,
+        merges: list[tuple[bytes, bytes]] | None = None,
+        special_tokens: list[str] | None = None,
+    ) -> None:
+        self._vocab: dict[bytes, int] = vocab or {}
+        self._vocab_inv: dict[int, bytes] = {v: k for k, v in self._vocab.items()}
+        self._merges: list[tuple[bytes, bytes]] = merges or []
+        self._special_tokens: list[str] = special_tokens or []
+        self._special_set: frozenset[str] = frozenset(self._special_tokens)
+
+        self._merge_ranks: dict[tuple[bytes, bytes], int] = {
+            pair: rank for rank, pair in enumerate(self._merges)
+        }
+        self._pattern = compile_gpt2_pattern()
+        self._special_pattern = compile_special_splitter(self._special_tokens)
+        self._unk_id: int = self._vocab.get(b"[UNK]", 0)
+
+        self._encode_word_cached = lru_cache(maxsize=_CACHE_SIZE)(
+            self._encode_word_impl
+        )
+        self._device_encoder = None  # built lazily by encode_batch(device=True)
+
+    @classmethod
+    def from_file(cls, model_dir: str | Path) -> "BBPETokenizer":
+        """Load a tokenizer from a native-dialect model directory."""
+        vocab, merges, special_tokens = load_model(model_dir)
+        return cls(vocab=vocab, merges=merges, special_tokens=special_tokens)
+
+    # ------------------------------------------------------------------ encode
+
+    def encode(self, text: str) -> list[int]:
+        """Encode text into token ids."""
+        if not text:
+            return []
+        out: list[int] = []
+        if self._special_pattern is not None:
+            for part in self._special_pattern.split(text):
+                if not part:
+                    continue
+                if part in self._special_set:
+                    sid = self._vocab.get(part.encode("utf-8"))
+                    if sid is not None:
+                        out.append(sid)
+                else:
+                    self._encode_plain(part, out)
+        else:
+            self._encode_plain(text, out)
+        return out
+
+    def _encode_plain(self, text: str, out: list[int]) -> None:
+        cached = self._encode_word_cached
+        for word in self._pattern.findall(text):
+            out.extend(cached(word))
+
+    def _encode_word_impl(self, word: str) -> tuple[int, ...]:
+        """BPE-encode one pre-token (batch-merge formulation, see module doc)."""
+        data = word.encode("utf-8")
+        if not data:
+            return ()
+        vocab = self._vocab
+        if len(data) == 1:
+            return (vocab.get(data, self._unk_id),)
+
+        ranks = self._merge_ranks
+        syms: list[bytes] = [data[i : i + 1] for i in range(len(data))]
+        while len(syms) > 1:
+            best_rank: int | None = None
+            best_pair: tuple[bytes, bytes] | None = None
+            for i in range(len(syms) - 1):
+                r = ranks.get((syms[i], syms[i + 1]))
+                if r is not None and (best_rank is None or r < best_rank):
+                    best_rank = r
+                    best_pair = (syms[i], syms[i + 1])
+            if best_pair is None:
+                break
+            merged = best_pair[0] + best_pair[1]
+            new_syms: list[bytes] = []
+            i = 0
+            n = len(syms)
+            while i < n:
+                if (
+                    i + 1 < n
+                    and syms[i] == best_pair[0]
+                    and syms[i + 1] == best_pair[1]
+                ):
+                    new_syms.append(merged)
+                    i += 2
+                else:
+                    new_syms.append(syms[i])
+                    i += 1
+            syms = new_syms
+
+        unk = self._unk_id
+        return tuple(vocab.get(s, unk) for s in syms)
+
+    def encode_batch(
+        self, texts: Sequence[str], *, device: bool = False
+    ) -> list[list[int]]:
+        """Encode multiple texts.
+
+        With ``device=True``, pre-tokens from all texts are packed into
+        padded tiles and encoded by the jitted merge-rank scan kernel.
+        """
+        if device:
+            return self._get_device_encoder().encode_batch(texts)
+        return [self.encode(t) for t in texts]
+
+    def encode_iterable(self, iterable: Iterable[str]) -> Iterator[int]:
+        """Stream token ids for an iterable of text pieces (bounded memory)."""
+        for piece in iterable:
+            yield from self.encode(piece)
+
+    def _get_device_encoder(self):
+        if self._device_encoder is None:
+            from yabpe_tpu.tok.device_encode import DeviceEncoder
+
+            self._device_encoder = DeviceEncoder(
+                vocab=self._vocab,
+                merges=self._merges,
+                special_tokens=self._special_tokens,
+            )
+        return self._device_encoder
+
+    # ------------------------------------------------------------------ decode
+
+    def decode(self, ids: Sequence[int]) -> str:
+        """Decode token ids back to text (unknown ids are skipped)."""
+        if not ids:
+            return ""
+        inv = self._vocab_inv
+        data = b"".join(inv[i] for i in ids if i in inv)
+        return data.decode("utf-8", errors="replace")
+
+    def decode_batch(self, ids_batch: Sequence[Sequence[int]]) -> list[str]:
+        return [self.decode(ids) for ids in ids_batch]
+
+    # ------------------------------------------------------------- introspection
+
+    @property
+    def vocab_size(self) -> int:
+        return len(self._vocab)
+
+    @property
+    def special_tokens(self) -> list[str]:
+        return self._special_tokens.copy()
+
+    def get_vocab(self) -> dict[str, int]:
+        return {k.decode("latin-1"): v for k, v in self._vocab.items()}
+
+    def clear_cache(self) -> None:
+        self._encode_word_cached.cache_clear()
+
+    def cache_info(self) -> str:
+        info = self._encode_word_cached.cache_info()
+        return (
+            f"hits={info.hits}, misses={info.misses}, "
+            f"size={info.currsize}/{info.maxsize}"
+        )
+
+
+__all__ = ["BBPETokenizer"]

@@ -1,0 +1,62 @@
+"""Trainer configuration.
+
+Field-for-field parity with the reference dataclass
+(/root/reference/src/yet_another_bpe/trainer.py:17-38) plus TPU-native knobs
+(backend/count strategy/mesh shape). ``seed`` is kept for interface
+compatibility; training is fully deterministic and never uses it, exactly as
+in the reference.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+from dataclasses import dataclass, field
+
+
+@dataclass
+class BBPETrainerConfig:
+    """Configuration of a BBPE trainer.
+
+    Attributes:
+        vocab_size: Target vocabulary size, including special tokens.
+        min_frequency: Minimum pair frequency for a merge to be considered.
+        max_workers: Worker pool size for parallel corpus ingestion.
+        chunk_size_bytes: Logical chunk size when splitting large corpora.
+        seed: Unused; kept for interface compatibility.
+        special_tokens: Tokens that must appear in the vocabulary and are
+            pre-split as whole pre-tokens during ingestion.
+
+        backend: "jax" runs the merge loop as jitted device code (default);
+            "numpy" runs the host oracle loop (debugging / cross-checks).
+        count_strategy: "dense" (exact scatter-add), "matmul" (MXU one-hot
+            matmul; exact while counts < 2**24), or "auto".
+        merge_chunk_size: merge steps executed per jitted chunk; the host
+            only syncs the stop flag between chunks.
+        ingest_processes: use a process pool for ingestion (beats the GIL).
+        align_chunks_to_newline: end ingestion chunks at newlines so
+            pre-tokens never straddle chunk boundaries (off for strict
+            reference parity).
+        data_shards: if > 1, shard the word table across this many devices
+            (data-parallel) and psum pair counts; None/1 = single device.
+        max_pair_table_bytes: guard rail for the dense [V, V] count table.
+    """
+
+    vocab_size: int = 32000
+    min_frequency: int = 2
+    max_workers: int = 8
+    chunk_size_bytes: int = 8 * 1024 * 1024
+    seed: int = 42
+    special_tokens: Sequence[str] = field(
+        default_factory=lambda: ["[PAD]", "[UNK]", "[BOS]", "[EOS]"]
+    )
+
+    backend: str = "jax"
+    count_strategy: str = "dense"
+    merge_chunk_size: int = 256
+    ingest_processes: bool = False
+    align_chunks_to_newline: bool = False
+    data_shards: int | None = None
+    max_pair_table_bytes: int = 2 * 1024 * 1024 * 1024
+
+
+__all__ = ["BBPETrainerConfig"]

@@ -1,0 +1,173 @@
+"""Training orchestration: files -> ingestion -> device merge loop -> model.
+
+Public-surface parity target: /root/reference/src/yet_another_bpe/
+trainer.py:55-117 (BBPETrainer.train/save, empty-corpus short-circuit,
+input validation). The merge loop itself runs on device
+(yabpe_tpu.train.state), optionally sharded across a mesh
+(yabpe_tpu.dist), with a numpy host-oracle backend for cross-checks.
+"""
+
+from __future__ import annotations
+
+import time
+from collections.abc import Sequence
+from pathlib import Path
+
+import numpy as np
+
+from yabpe_tpu.core.vocab import Vocab
+from yabpe_tpu.core.wordtable import WordTable
+from yabpe_tpu.io.native import save_model
+from yabpe_tpu.pretok.ingest import count_pretokens
+from yabpe_tpu.train.config import BBPETrainerConfig
+from yabpe_tpu.train.model import BBPEModel
+from yabpe_tpu.train.reference_loop import train_merges_oracle
+from yabpe_tpu.utils.logging import get_logger
+
+_LOG = get_logger(__name__)
+
+
+class BBPETrainer:
+    """Byte-level BPE trainer with a device-resident merge loop."""
+
+    def __init__(self, config: BBPETrainerConfig | None = None) -> None:
+        self.config: BBPETrainerConfig = config or BBPETrainerConfig()
+        self._vocab: dict[bytes, int] = {}
+        self._merges: list[tuple[bytes, bytes]] = []
+        self.last_stats: dict[str, float] = {}
+
+    def train(self, files: Sequence[str | Path]) -> BBPEModel:
+        """Train a BBPE model from one or more UTF-8 text files."""
+        if not files:
+            raise ValueError("At least one file must be provided")
+        cfg = self.config
+
+        t0 = time.perf_counter()
+        counter = count_pretokens(
+            files,
+            cfg.special_tokens,
+            chunk_size_bytes=cfg.chunk_size_bytes,
+            max_workers=cfg.max_workers,
+            align_to_newline=cfg.align_chunks_to_newline,
+            use_processes=cfg.ingest_processes,
+        )
+        t_ingest = time.perf_counter() - t0
+
+        base = Vocab.base(cfg.special_tokens)
+        if not counter:
+            self._vocab = base.as_bytes_to_id()
+            self._merges = []
+            return BBPEModel(
+                vocab=self._vocab, merges=[], special_tokens=list(cfg.special_tokens)
+            )
+
+        t0 = time.perf_counter()
+        if cfg.backend == "numpy":
+            vocab, merges = train_merges_oracle(
+                counter, cfg.special_tokens, cfg.vocab_size, cfg.min_frequency
+            )
+        elif cfg.backend == "jax":
+            vocab, merges = self._train_device(counter, base)
+        else:
+            raise ValueError(f"unknown backend {cfg.backend!r}")
+        t_merge = time.perf_counter() - t0
+
+        corpus_bytes = sum(len(w) * c for w, c in counter.items())
+        self.last_stats = {
+            "ingest_seconds": t_ingest,
+            "merge_seconds": t_merge,
+            "corpus_bytes": float(corpus_bytes),
+            "unique_pretokens": float(len(counter)),
+            "num_merges": float(len(merges)),
+            "bytes_per_second": corpus_bytes / max(t_ingest + t_merge, 1e-9),
+        }
+        _LOG.info(
+            "trained %d merges in %.3fs (ingest %.3fs, %.2f MB/s end-to-end)",
+            len(merges),
+            t_merge,
+            t_ingest,
+            self.last_stats["bytes_per_second"] / 1e6,
+        )
+
+        self._vocab = vocab.as_bytes_to_id()
+        self._merges = merges
+        return BBPEModel(
+            vocab=self._vocab,
+            merges=self._merges,
+            special_tokens=list(cfg.special_tokens),
+        )
+
+    def _train_device(
+        self, counter, base: Vocab
+    ) -> tuple[Vocab, list[tuple[bytes, bytes]]]:
+        from yabpe_tpu.train import state as train_state
+
+        cfg = self.config
+        num_merges = max(0, cfg.vocab_size - len(base))
+        if num_merges == 0:
+            return base, []
+
+        vocab_cap = max(cfg.vocab_size, len(base))
+        table_bytes = 4 * vocab_cap * vocab_cap
+        if table_bytes > cfg.max_pair_table_bytes:
+            raise ValueError(
+                f"dense pair table would need {table_bytes} bytes for "
+                f"vocab_cap={vocab_cap}; raise max_pair_table_bytes or lower "
+                "vocab_size"
+            )
+
+        table = WordTable.from_counter(counter)
+
+        if cfg.data_shards and cfg.data_shards > 1:
+            from yabpe_tpu.dist.sharded import run_sharded_merge_loop
+
+            merges_ids = run_sharded_merge_loop(
+                table,
+                base,
+                vocab_cap=vocab_cap,
+                num_merges=num_merges,
+                min_frequency=cfg.min_frequency,
+                data_shards=cfg.data_shards,
+                chunk_size=cfg.merge_chunk_size,
+            )
+        else:
+            merges_ids = self._run_single_device(
+                table, base, vocab_cap, num_merges
+            )
+
+        return train_state.merges_to_bytes(merges_ids, base)
+
+    def _run_single_device(
+        self, table: WordTable, base: Vocab, vocab_cap: int, num_merges: int
+    ) -> np.ndarray:
+        import jax.numpy as jnp
+
+        from yabpe_tpu.train import state as train_state
+
+        cfg = self.config
+        state = train_state.init_state(table, base, vocab_cap, num_merges)
+        chunk = max(1, min(cfg.merge_chunk_size, num_merges))
+        start = 0
+        while start < num_merges:
+            state = train_state.merge_chunk(
+                state,
+                jnp.asarray(start, dtype=jnp.int32),
+                vocab_cap=vocab_cap,
+                min_frequency=cfg.min_frequency,
+                num_merges=num_merges,
+                chunk_size=chunk,
+                count_strategy=cfg.count_strategy,
+            )
+            start += chunk
+            if bool(state.stopped):
+                break
+        return np.asarray(state.merges)
+
+    def save(self, output_dir: str | Path) -> None:
+        """Persist the trained model to disk (native latin-1 dialect)."""
+        if not self._vocab:
+            raise ValueError("Model has not been trained yet. Call train() first.")
+        save_model(output_dir, self._vocab, self._merges, self.config.special_tokens)
+
+
+__all__ = ["BBPETrainer"]

@@ -1,0 +1,43 @@
+"""JAX runtime setup: persistent compilation cache.
+
+Remote TPU compilation can cost minutes per program; the persistent cache
+cuts fresh-process cold start for the trainer from ~minutes to seconds.
+Called once on package import (see yabpe_tpu/__init__.py). Opt out with
+YABPE_COMPILE_CACHE=0 or redirect with YABPE_COMPILE_CACHE_DIR.
+"""
+
+from __future__ import annotations
+
+import os
+
+_DONE = False
+
+
+def setup_compilation_cache() -> None:
+    global _DONE
+    if _DONE:
+        return
+    _DONE = True
+    if os.environ.get("YABPE_COMPILE_CACHE", "1") == "0":
+        return
+    cache_dir = os.environ.get("YABPE_COMPILE_CACHE_DIR")
+    if not cache_dir:
+        # Default to a dot-directory at the repo/checkout root (three levels
+        # above this file: src/yabpe_tpu/utils/jaxsetup.py).
+        root = os.path.dirname(
+            os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+        )
+        cache_dir = os.path.join(root, ".jax_cache")
+    try:
+        import jax
+
+        os.makedirs(cache_dir, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+        jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+    except Exception:
+        # Cache is an optimization only; never block import on it.
+        pass
+
+
+__all__ = ["setup_compilation_cache"]
