@@ -1,0 +1,57 @@
+"""Device mesh construction helpers.
+
+The training mesh has two logical axes:
+
+- ``data``: unique-word rows are sharded across it; per-step pair counts are
+  partial sums psum'd over this axis (ICI within a slice, DCN across hosts).
+- ``vocab``: optional second axis sharding the dense pair-count table by
+  left-symbol rows, for vocabularies whose [V, V] table is too large per
+  device.
+
+The reference has no distributed runtime at all (SURVEY.md §2.2/§5.8); this
+layer is the TPU-native equivalent mandated by the north star.
+"""
+
+from __future__ import annotations
+
+import jax
+import numpy as np
+from jax.sharding import Mesh
+
+
+def make_data_mesh(num_shards: int | None = None) -> Mesh:
+    """1-D ``data`` mesh over the first ``num_shards`` local devices."""
+    devices = jax.devices()
+    if num_shards is None:
+        num_shards = len(devices)
+    if num_shards > len(devices):
+        raise ValueError(
+            f"requested {num_shards} shards but only {len(devices)} devices"
+        )
+    return jax.make_mesh((num_shards,), ("data",), devices=devices[:num_shards])
+
+
+def make_2d_mesh(data_shards: int, vocab_shards: int) -> Mesh:
+    """(data, vocab) mesh; data x vocab must cover exactly that many devices."""
+    devices = np.asarray(jax.devices())
+    need = data_shards * vocab_shards
+    if need > devices.size:
+        raise ValueError(f"need {need} devices, have {devices.size}")
+    grid = devices[:need].reshape(data_shards, vocab_shards)
+    return Mesh(grid, ("data", "vocab"))
+
+
+def multihost_initialize() -> None:
+    """Initialize jax.distributed when running under a multi-host launcher.
+
+    No-op when the coordinator env vars are absent (single host).
+    """
+    import os
+
+    if os.environ.get("JAX_COORDINATOR_ADDRESS") or os.environ.get(
+        "COORDINATOR_ADDRESS"
+    ):
+        jax.distributed.initialize()
+
+
+__all__ = ["make_data_mesh", "make_2d_mesh", "multihost_initialize"]

@@ -1,0 +1,243 @@
+"""Batched device encoder: vectorized merge-rank scan over padded word tiles.
+
+TPU-native replacement for the reference's per-word heap encoder
+(/root/reference/src/yet_another_bpe/tokenizer.py:195-308). Pre-tokens are
+packed into a [rows, width] int32 tile of symbol ids; each scan iteration
+finds, per row, the lowest-rank adjacent pair (via binary search over the
+packed pair-key table), merges every leftmost-non-overlapping occurrence,
+and compacts the row — equivalence to the heap argued in
+yabpe_tpu.tok.tokenizer's module docstring.
+
+Symbols live in an *extended* table independent of the output vocabulary:
+ids 0..255 are the single bytes, and each live merge appends (or reuses)
+the id of its concatenation, so merges whose product is absent from the
+vocab still apply and only the final id lookup falls back to [UNK] — the
+reference's exact behavior (tokenizer.py:296-308). Duplicate merge pairs
+keep the *last* rank, matching the reference's dict construction
+(tokenizer.py:74-76).
+
+Pair keys are packed as uint32 = left * n_syms + right, which caps the
+symbol table at 65535 entries (GPT-2's 50,256 fits).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from yabpe_tpu.core.wordtable import PAD
+from yabpe_tpu.kernels.merge_apply import (
+    apply_rowwise_merge,
+    leftmost_nonoverlapping,
+)
+from yabpe_tpu.pretok.patterns import (
+    compile_gpt2_pattern,
+    compile_special_splitter,
+)
+
+_NO_RANK = np.int32(2**30)
+
+
+def _round_up(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m
+
+
+@partial(jax.jit, donate_argnums=(0,))
+def _scan_encode(
+    words: jax.Array,
+    sorted_keys: jax.Array,
+    sorted_ranks: jax.Array,
+    sorted_new_syms: jax.Array,
+    n_syms: jax.Array,
+) -> jax.Array:
+    """Run merge-rank scan iterations until no row has a mergeable pair."""
+    num_keys = sorted_keys.shape[0]
+
+    def lookup(left: jax.Array, right: jax.Array, valid: jax.Array):
+        key = (
+            left.astype(jnp.uint32) * n_syms.astype(jnp.uint32)
+            + right.astype(jnp.uint32)
+        )
+        pos = jnp.searchsorted(sorted_keys, key)
+        pos_c = jnp.minimum(pos, num_keys - 1)
+        found = valid & (pos < num_keys) & (sorted_keys[pos_c] == key)
+        rank = jnp.where(found, sorted_ranks[pos_c], _NO_RANK)
+        new_sym = sorted_new_syms[pos_c]
+        return rank, new_sym
+
+    def has_work(words: jax.Array) -> jax.Array:
+        left = words[:, :-1]
+        right = words[:, 1:]
+        valid = (left >= 0) & (right >= 0)
+        rank, _ = lookup(left, right, valid)
+        return jnp.any(rank < _NO_RANK)
+
+    def body(words: jax.Array) -> jax.Array:
+        left = words[:, :-1]
+        right = words[:, 1:]
+        valid = (left >= 0) & (right >= 0)
+        rank, new_sym = lookup(left, right, valid)
+        row_min = jnp.min(rank, axis=1, keepdims=True)
+        match = (rank == row_min) & (rank < _NO_RANK)
+        applied = leftmost_nonoverlapping(match)
+        return apply_rowwise_merge(words, applied, new_sym)
+
+    return jax.lax.while_loop(has_work, body, words)
+
+
+class DeviceEncoder:
+    """Packs pre-tokens into tiles and encodes them with the scan kernel."""
+
+    def __init__(
+        self,
+        vocab: dict[bytes, int],
+        merges: list[tuple[bytes, bytes]],
+        special_tokens: list[str] | None = None,
+        *,
+        max_rows: int = 8192,
+    ) -> None:
+        self._vocab = vocab
+        self._special_tokens = special_tokens or []
+        self._special_set = frozenset(self._special_tokens)
+        self._pattern = compile_gpt2_pattern()
+        self._special_pattern = compile_special_splitter(self._special_tokens)
+        self._unk_id = vocab.get(b"[UNK]", 0)
+        self._max_rows = max_rows
+        self._word_cache: dict[str, tuple[int, ...]] = {}
+
+        # Extended symbol table: single bytes + live merge products.
+        sym_of: dict[bytes, int] = {bytes([b]): b for b in range(256)}
+        sym_bytes: list[bytes] = [bytes([b]) for b in range(256)]
+        # (left_sym, right_sym) -> (rank, new_sym); duplicates keep the last
+        # rank, matching the reference's dict construction.
+        live: dict[tuple[int, int], tuple[int, int]] = {}
+        for rank, (lb, rb) in enumerate(merges):
+            sl = sym_of.get(lb)
+            sr = sym_of.get(rb)
+            if sl is None or sr is None:
+                continue  # unreachable merge: its inputs can never be formed
+            tok = lb + rb
+            st = sym_of.get(tok)
+            if st is None:
+                st = len(sym_bytes)
+                sym_of[tok] = st
+                sym_bytes.append(tok)
+            live[(sl, sr)] = (rank, st)
+
+        n_syms = len(sym_bytes)
+        if n_syms > 0xFFFF:
+            raise ValueError(
+                f"extended symbol table has {n_syms} entries; uint32 pair "
+                "keys support at most 65535"
+            )
+        self._n_syms = n_syms
+
+        if live:
+            packed = sorted(
+                (np.uint32(sl) * np.uint32(n_syms) + np.uint32(sr), rank, st)
+                for (sl, sr), (rank, st) in live.items()
+            )
+            self._sorted_keys = jnp.asarray(
+                np.array([k for k, _, _ in packed], dtype=np.uint32)
+            )
+            self._sorted_ranks = jnp.asarray(
+                np.array([r for _, r, _ in packed], dtype=np.int32)
+            )
+            self._sorted_new_syms = jnp.asarray(
+                np.array([s for _, _, s in packed], dtype=np.int32)
+            )
+        else:
+            self._sorted_keys = jnp.zeros((1,), dtype=jnp.uint32)
+            self._sorted_ranks = jnp.full((1,), _NO_RANK, dtype=jnp.int32)
+            self._sorted_new_syms = jnp.zeros((1,), dtype=jnp.int32)
+
+        out_ids = np.array(
+            [vocab.get(sb, self._unk_id) for sb in sym_bytes], dtype=np.int32
+        )
+        self._out_ids = out_ids
+        self._n_syms_dev = jnp.asarray(n_syms, dtype=jnp.uint32)
+
+    # ------------------------------------------------------------------ public
+
+    def encode_batch(self, texts: Sequence[str]) -> list[list[int]]:
+        """Encode texts; all new pre-tokens cross the device in one tile set."""
+        parts_per_text = [self._split(t) for t in texts]
+        new_words: list[str] = []
+        seen: set[str] = set()
+        for parts in parts_per_text:
+            for is_special, piece in parts:
+                if not is_special and piece not in self._word_cache:
+                    if piece not in seen:
+                        seen.add(piece)
+                        new_words.append(piece)
+        if new_words:
+            self._encode_words(new_words)
+
+        out: list[list[int]] = []
+        for parts in parts_per_text:
+            ids: list[int] = []
+            for is_special, piece in parts:
+                if is_special:
+                    sid = self._vocab.get(piece.encode("utf-8"))
+                    if sid is not None:
+                        ids.append(sid)
+                else:
+                    ids.extend(self._word_cache[piece])
+            out.append(ids)
+        return out
+
+    # ----------------------------------------------------------------- helpers
+
+    def _split(self, text: str) -> list[tuple[bool, str]]:
+        """Split text into (is_special, piece) with piece a pre-token."""
+        parts: list[tuple[bool, str]] = []
+        if not text:
+            return parts
+        if self._special_pattern is not None:
+            for part in self._special_pattern.split(text):
+                if not part:
+                    continue
+                if part in self._special_set:
+                    parts.append((True, part))
+                else:
+                    parts.extend((False, w) for w in self._pattern.findall(part))
+        else:
+            parts.extend((False, w) for w in self._pattern.findall(text))
+        return parts
+
+    def _encode_words(self, words: list[str]) -> None:
+        """Encode unique pre-tokens on device and fill the word cache."""
+        encoded = [w.encode("utf-8") for w in words]
+        for start in range(0, len(encoded), self._max_rows):
+            batch = encoded[start : start + self._max_rows]
+            names = words[start : start + self._max_rows]
+            width = max(_round_up(max(len(b) for b in batch), 16), 2)
+            # Bucket row counts to powers of two to bound jit recompiles.
+            rows = 128
+            while rows < len(batch):
+                rows *= 2
+            tile = np.full((rows, width), PAD, dtype=np.int32)
+            for i, b in enumerate(batch):
+                tile[i, : len(b)] = np.frombuffer(b, dtype=np.uint8)
+            result = np.asarray(
+                _scan_encode(
+                    jnp.asarray(tile),
+                    self._sorted_keys,
+                    self._sorted_ranks,
+                    self._sorted_new_syms,
+                    self._n_syms_dev,
+                )
+            )
+            for i, name in enumerate(names):
+                syms = result[i]
+                syms = syms[syms >= 0]
+                self._word_cache[name] = tuple(
+                    int(self._out_ids[s]) for s in syms
+                )
+
+
+__all__ = ["DeviceEncoder"]
