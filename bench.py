@@ -1,0 +1,151 @@
+"""Benchmark harness. Prints ONE JSON line to stdout:
+
+    {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
+
+Headline: end-to-end training throughput (bytes/s) for the reference's
+5 MB TinyStories @ vocab-1000 snapshot workload
+(/root/reference/tests/benchmark_trainer.py:73-98 shape). The baseline is
+the reference implementation measured on THIS sandbox (same host, same
+corpus): 3.54 s end-to-end = 1,480,608 bytes/s (single thread, parity
+config). Detailed sub-benchmarks go to stderr.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+from pathlib import Path
+
+REPO = Path(__file__).resolve().parent
+sys.path.insert(0, str(REPO / "src"))
+
+# Reference numbers measured on this sandbox (see BASELINE.md and module doc).
+BASELINE_TRAIN_5M_BYTES_PER_S = 1_480_608.0
+BASELINE_ENCODE_5M_MB_PER_S = 9.79
+BASELINE_TRAIN_CORPUS_EN_S = 0.24
+
+FIVE_M = REPO / "tests" / "fixtures_gpt2" / "tinystories_sample_5M.txt"
+CORPUS_EN = Path("/root/reference/tests/fixtures_gpt2/corpus.en")
+
+
+def _log(msg: str) -> None:
+    print(msg, file=sys.stderr, flush=True)
+
+
+def _ensure_5m() -> None:
+    if FIVE_M.exists() and FIVE_M.stat().st_size > 4_900_000:
+        return
+    sample = Path(
+        "/root/reference/tests/fixtures_gpt2/tinystories_sample.txt"
+    ).read_text(encoding="utf-8")
+    reps = (5 * 1024 * 1024) // len(sample.encode("utf-8")) + 1
+    FIVE_M.parent.mkdir(parents=True, exist_ok=True)
+    with open(FIVE_M, "w", encoding="utf-8") as f:
+        for _ in range(reps):
+            f.write(sample)
+
+
+def bench_train_5m() -> float:
+    """End-to-end bytes/s on the 5 MB @ vocab-1000 workload (warm jit)."""
+    from yabpe_tpu import BBPETrainer, BBPETrainerConfig
+
+    cfg = BBPETrainerConfig(
+        vocab_size=1000,
+        min_frequency=1,
+        max_workers=8,
+        chunk_size_bytes=1 << 20,
+        special_tokens=["<|endoftext|>"],
+        align_chunks_to_newline=True,
+    )
+    size = FIVE_M.stat().st_size
+    tr = BBPETrainer(cfg)
+    tr.train([FIVE_M])  # warm-up: jit compile (persistent-cached)
+    best = 0.0
+    for _ in range(2):
+        t0 = time.perf_counter()
+        tr.train([FIVE_M])
+        dt = time.perf_counter() - t0
+        best = max(best, size / dt)
+        _log(
+            f"train_5m: {dt:.3f}s total "
+            f"(ingest {tr.last_stats['ingest_seconds']:.3f}s, "
+            f"merge {tr.last_stats['merge_seconds']:.3f}s) "
+            f"= {size / dt / 1e6:.2f} MB/s"
+        )
+    return best
+
+
+def bench_train_corpus_en() -> float:
+    """Parity workload: corpus.en @ vocab 500 (seconds, warm)."""
+    from yabpe_tpu import BBPETrainer, BBPETrainerConfig
+
+    cfg = BBPETrainerConfig(
+        vocab_size=500,
+        min_frequency=1,
+        max_workers=1,
+        chunk_size_bytes=1 << 30,
+        special_tokens=["<|endoftext|>"],
+    )
+    tr = BBPETrainer(cfg)
+    tr.train([CORPUS_EN])
+    t0 = time.perf_counter()
+    tr.train([CORPUS_EN])
+    dt = time.perf_counter() - t0
+    _log(f"train_corpus_en: {dt:.3f}s (reference {BASELINE_TRAIN_CORPUS_EN_S}s)")
+    return dt
+
+
+def bench_encode_5m() -> float:
+    """Device-batched encode of the 5 MB corpus with the GPT-2 model (MB/s)."""
+    from yabpe_tpu import BBPETokenizer
+    from yabpe_tpu.io import gpt2 as gpt2io
+
+    merges = gpt2io.load_gpt2_merges(
+        "/root/reference/tests/fixtures_gpt2/gpt2_merges.txt"
+    )
+    vocab = gpt2io.load_gpt2_vocab(REPO / "tests/fixtures_gpt2/gpt2_vocab.json")
+    tok = BBPETokenizer(
+        vocab=vocab, merges=merges, special_tokens=["<|endoftext|>"]
+    )
+    text = FIVE_M.read_text(encoding="utf-8")
+    nbytes = len(text.encode("utf-8"))
+    tok.encode_batch([text[:100_000]], device=True)  # warm-up
+    t0 = time.perf_counter()
+    [ids] = tok.encode_batch([text], device=True)
+    dt = time.perf_counter() - t0
+    _log(
+        f"encode_5m(device): {dt:.3f}s = {nbytes / dt / 1e6:.2f} MB/s, "
+        f"{len(ids)} tokens (reference warm-cache {BASELINE_ENCODE_5M_MB_PER_S} MB/s)"
+    )
+    return nbytes / dt / 1e6
+
+
+def main() -> None:
+    import jax
+
+    _log(f"devices: {jax.devices()}")
+    _ensure_5m()
+
+    train_bps = bench_train_5m()
+    try:
+        bench_train_corpus_en()
+        bench_encode_5m()
+    except Exception as e:  # subsidiary benches must not kill the headline
+        _log(f"subsidiary bench failed: {e!r}")
+
+    print(
+        json.dumps(
+            {
+                "metric": "train_bpe_5MB_vocab1000_bytes_per_s",
+                "value": round(train_bps, 1),
+                "unit": "bytes/s",
+                "vs_baseline": round(train_bps / BASELINE_TRAIN_5M_BYTES_PER_S, 3),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -49,14 +49,15 @@ class WordTable:
         counts: Counter[bytes] | dict[bytes, int],
         *,
         width: int | None = None,
-        row_multiple: int = 8,
-        width_multiple: int = 8,
+        width_multiple: int = 16,
     ) -> "WordTable":
         """Build a table from {pre-token bytes: count}.
 
         Rows are sorted by byte string for a canonical, input-order-free
         layout (counts are commutative, so any order yields identical
-        training results; sorting makes the array bit-deterministic).
+        training results; sorting makes the array bit-deterministic). Row
+        counts are bucketed to powers of two so differently-sized corpora
+        reuse compiled programs.
         """
         items = sorted((w, c) for w, c in counts.items() if c > 0 and len(w) > 0)
         max_len = max((len(w) for w, _ in items), default=1)
@@ -66,7 +67,14 @@ class WordTable:
             raise ValueError(
                 f"width={width} is smaller than longest pre-token ({max_len})"
             )
-        num_rows = _round_up(max(len(items), 1), row_multiple)
+        # Bucket row counts: powers of two while small (compile reuse),
+        # multiples of 1024 beyond that (bounded padding waste).
+        if len(items) <= 2048:
+            num_rows = 64
+            while num_rows < len(items):
+                num_rows *= 2
+        else:
+            num_rows = _round_up(len(items), 1024)
 
         words = np.full((num_rows, width), PAD, dtype=np.int32)
         freqs = np.zeros((num_rows,), dtype=np.int64)

@@ -27,8 +27,8 @@ from jax.experimental.shard_map import shard_map
 
 from yabpe_tpu.core.vocab import Vocab
 from yabpe_tpu.core.wordtable import WordTable
-from yabpe_tpu.dist.mesh import make_data_mesh
-from yabpe_tpu.kernels.pair_count import pair_counts_dense
+from yabpe_tpu.dist.mesh import make_2d_mesh, make_data_mesh
+from yabpe_tpu.kernels.pair_count import adjacent_pairs, pair_counts_dense
 from yabpe_tpu.train.state import TrainState, init_state, merge_step
 
 
@@ -79,6 +79,75 @@ def _sharded_chunk(
     return jax.lax.fori_loop(0, chunk_size, body, state)
 
 
+def _sharded_chunk_2d(
+    state: TrainState,
+    chunk_start: jax.Array,
+    *,
+    vocab_cap: int,
+    min_frequency: int,
+    num_merges: int,
+    chunk_size: int,
+    vocab_shards: int,
+) -> TrainState:
+    """Chunk body for the (data, vocab) mesh.
+
+    Each device counts pairs only for its slice of left-symbol rows (the
+    dense table is sharded [V/nv, V] per device), psums over ``data``,
+    selects its slice-local best, and the global winner is chosen from the
+    all-gathered per-slice candidates with the exact (count, lex-left,
+    lex-right) tuple order — replicated-deterministic on every device.
+    """
+    rows_per = vocab_cap // vocab_shards
+    vidx = jax.lax.axis_index("vocab")
+    row_lo = vidx * rows_per
+
+    def local_best(st: TrainState):
+        left, right, valid = adjacent_pairs(st.words)
+        in_slice = valid & (left >= row_lo) & (left < row_lo + rows_per)
+        oob = rows_per * vocab_cap
+        key = jnp.where(in_slice, (left - row_lo) * vocab_cap + right, oob)
+        weight = jnp.where(in_slice, st.freqs[:, None], 0).astype(jnp.int32)
+        local = jnp.zeros((rows_per * vocab_cap,), dtype=jnp.int32)
+        local = local.at[key.reshape(-1)].add(weight.reshape(-1), mode="drop")
+        counts = jax.lax.psum(local, "data").reshape(rows_per, vocab_cap)
+
+        lex_slice = jax.lax.dynamic_slice(st.lex_rank, (row_lo,), (rows_per,))
+        m = jnp.max(counts)
+        cand = counts == m
+        row_has = jnp.any(cand, axis=1)
+        li = jnp.argmax(jnp.where(row_has, lex_slice, -1)).astype(jnp.int32)
+        left_g = row_lo + li
+        right_g = jnp.argmax(
+            jnp.where(cand[li], st.lex_rank, -1)
+        ).astype(jnp.int32)
+        return m, left_g, right_g
+
+    def body(i, st):
+        step = chunk_start + i
+        in_range = step < num_merges
+        m, left_g, right_g = local_best(st)
+        counts_v = jax.lax.all_gather(m, "vocab")
+        lefts_v = jax.lax.all_gather(left_g, "vocab")
+        rights_v = jax.lax.all_gather(right_g, "vocab")
+        # exact tuple-order winner across vocab shards
+        tie1 = counts_v == jnp.max(counts_v)
+        s2 = jnp.where(tie1, st.lex_rank[lefts_v], -1)
+        tie2 = tie1 & (s2 == jnp.max(s2))
+        s3 = jnp.where(tie2, st.lex_rank[rights_v], -1)
+        widx = jnp.argmax(s3)
+        best = (lefts_v[widx], rights_v[widx], counts_v[widx])
+        st_next = merge_step(
+            st,
+            jnp.minimum(step, num_merges - 1),
+            vocab_cap=vocab_cap,
+            min_frequency=min_frequency,
+            best=best,
+        )
+        return jax.tree.map(lambda a, b: jnp.where(in_range, a, b), st_next, st)
+
+    return jax.lax.fori_loop(0, chunk_size, body, state)
+
+
 def run_sharded_merge_loop(
     table: WordTable,
     base_vocab: Vocab,
@@ -87,14 +156,21 @@ def run_sharded_merge_loop(
     num_merges: int,
     min_frequency: int,
     data_shards: int,
+    vocab_shards: int = 1,
     chunk_size: int = 256,
 ) -> np.ndarray:
-    """Run the merge loop data-parallel over ``data_shards`` devices.
+    """Run the merge loop sharded over a (data[, vocab]) mesh.
 
-    Returns the [num_merges, 3] merge record (host numpy), identical to the
-    single-device loop's output for any shard count.
+    Word rows are data-parallel; with ``vocab_shards > 1`` the dense pair
+    table is additionally sharded by left-symbol rows. Returns the
+    [num_merges, 3] merge record (host numpy), identical to the
+    single-device loop's output for any shard configuration.
     """
-    mesh = make_data_mesh(data_shards)
+    if vocab_shards > 1:
+        mesh = make_2d_mesh(data_shards, vocab_shards)
+        vocab_cap = _round_up(vocab_cap, vocab_shards)
+    else:
+        mesh = make_data_mesh(data_shards)
     table = table.pad_rows_to(_round_up(table.words.shape[0], data_shards))
     state = init_state(table, base_vocab, vocab_cap, num_merges)
 
@@ -106,15 +182,26 @@ def run_sharded_merge_loop(
     )
 
     chunk = max(1, min(chunk_size, num_merges))
+    if vocab_shards > 1:
+        body = partial(
+            _sharded_chunk_2d,
+            vocab_cap=vocab_cap,
+            min_frequency=min_frequency,
+            num_merges=num_merges,
+            chunk_size=chunk,
+            vocab_shards=vocab_shards,
+        )
+    else:
+        body = partial(
+            _sharded_chunk,
+            vocab_cap=vocab_cap,
+            min_frequency=min_frequency,
+            num_merges=num_merges,
+            chunk_size=chunk,
+        )
     fn = jax.jit(
         shard_map(
-            partial(
-                _sharded_chunk,
-                vocab_cap=vocab_cap,
-                min_frequency=min_frequency,
-                num_merges=num_merges,
-                chunk_size=chunk,
-            ),
+            body,
             mesh=mesh,
             in_specs=(specs, P()),
             out_specs=specs,

@@ -92,11 +92,14 @@ def pair_counts_matmul(
         bl, br, bw = inputs
         onehot_l = (bl[:, None] == ids[None, :]).astype(jnp.float32)
         onehot_r = (br[:, None] == ids[None, :]).astype(jnp.float32) * bw[:, None]
+        # precision=HIGHEST keeps f32 multiplication exact on TPU (the MXU
+        # default lowers f32 to one-pass bf16, which rounds counts > 256).
         carry = carry + jax.lax.dot_general(
             onehot_l,
             onehot_r,
             dimension_numbers=(((0,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
         )
         return carry, None
 

@@ -84,12 +84,13 @@ def _adjust_end(f, start: int, tentative: int, align_to_newline: bool) -> int:
         nl = window.rfind(b"\n")
         if nl >= 0:
             return win_start + nl + 1
-    # UTF-8 backoff: a code point is at most 4 bytes, so reading 4 bytes
-    # before the tentative end is enough to find its leading byte.
+    # UTF-8 backoff: examine the byte AT the tentative split (one past the
+    # chunk) — if it is a continuation byte the split would bisect a code
+    # point. A code point is at most 4 bytes, so a 5-byte window suffices.
     win_start = max(start, tentative - 4)
     f.seek(win_start)
-    window = f.read(tentative - win_start)
-    return win_start + utf8_safe_end(window, len(window))
+    window = f.read(tentative - win_start + 1)
+    return win_start + utf8_safe_end(window, tentative - win_start)
 
 
 def read_span(path: str | Path, start: int, end: int) -> bytes:

@@ -34,11 +34,11 @@ def _count_span(
     data = chunking.read_span(path, start, end)
     text = chunking.decode_span_utf8(data, path, start)
     pattern = compile_trainer_pattern(special_tokens)
-    counts: Counter[bytes] = Counter()
-    for tok in pattern.findall(text):
-        if tok:
-            counts[tok.encode("utf-8")] += 1
-    return counts
+    # Counter(findall) counts in C; the utf-8 re-encode then runs once per
+    # *unique* pre-token instead of once per occurrence.
+    str_counts = Counter(pattern.findall(text))
+    str_counts.pop("", None)
+    return Counter({t.encode("utf-8"): c for t, c in str_counts.items()})
 
 
 def count_pretokens(
@@ -48,7 +48,7 @@ def count_pretokens(
     chunk_size_bytes: int = 8 * 1024 * 1024,
     max_workers: int = 8,
     align_to_newline: bool = False,
-    use_processes: bool = False,
+    use_processes: bool | None = None,
 ) -> Counter[bytes]:
     """Count pre-token occurrences across ``files``.
 
@@ -61,14 +61,17 @@ def count_pretokens(
             spans (see chunking.chunk_spans). Off by default for parity.
         use_processes: use a process pool (beats the GIL for large corpora;
             the regex engine holds the GIL for most of a findall call).
+            None = auto: processes when the corpus exceeds ~8 MB.
 
     Returns:
         Counter mapping pre-token UTF-8 bytes to occurrence count.
     """
     specials = tuple(special_tokens)
     tasks: list[tuple[str, int, int]] = []
+    total_bytes = 0
     for file in files:
         p = chunking.ensure_exists(file)
+        total_bytes += p.stat().st_size
         for start, end in chunking.chunk_spans(
             p, chunk_size_bytes, align_to_newline=align_to_newline
         ):
@@ -82,6 +85,8 @@ def count_pretokens(
             total.update(_count_span(path, start, end, specials))
         return total
 
+    if use_processes is None:
+        use_processes = total_bytes > 8 * 1024 * 1024
     pool_cls = ProcessPoolExecutor if use_processes else ThreadPoolExecutor
     with pool_cls(max_workers=max_workers) as pool:
         futures = [

@@ -32,13 +32,22 @@ class BBPETrainerConfig:
             matmul; exact while counts < 2**24), or "auto".
         merge_chunk_size: merge steps executed per jitted chunk; the host
             only syncs the stop flag between chunks.
-        ingest_processes: use a process pool for ingestion (beats the GIL).
+        ingest_processes: use a process pool for ingestion (beats the GIL);
+            None = auto (processes for corpora over ~8 MB).
         align_chunks_to_newline: end ingestion chunks at newlines so
             pre-tokens never straddle chunk boundaries (off for strict
             reference parity).
         data_shards: if > 1, shard the word table across this many devices
             (data-parallel) and psum pair counts; None/1 = single device.
-        max_pair_table_bytes: guard rail for the dense [V, V] count table.
+        vocab_shards: if > 1 (requires data_shards), additionally shard the
+            dense pair-count table by left-symbol rows over a second mesh
+            axis ([V/nv, V] per device).
+        max_pair_table_bytes: guard rail for the dense [V, V] count table
+            (per device, after vocab sharding).
+        checkpoint_dir: when set, the merge record is checkpointed there
+            every ``checkpoint_every_chunks`` chunks and training resumes
+            from it after a crash (deterministic replay).
+        checkpoint_every_chunks: checkpoint cadence in merge chunks.
     """
 
     vocab_size: int = 32000
@@ -53,10 +62,13 @@ class BBPETrainerConfig:
     backend: str = "jax"
     count_strategy: str = "dense"
     merge_chunk_size: int = 256
-    ingest_processes: bool = False
+    ingest_processes: bool | None = None
     align_chunks_to_newline: bool = False
     data_shards: int | None = None
+    vocab_shards: int = 1
     max_pair_table_bytes: int = 2 * 1024 * 1024 * 1024
+    checkpoint_dir: str | None = None
+    checkpoint_every_chunks: int = 4
 
 
 __all__ = ["BBPETrainerConfig"]

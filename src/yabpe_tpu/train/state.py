@@ -102,17 +102,51 @@ def merge_step(
     min_frequency: int,
     count_strategy: str = "dense",
     counts: jax.Array | None = None,
+    best: tuple[jax.Array, jax.Array, jax.Array] | None = None,
 ) -> TrainState:
-    """One BPE merge step. ``counts`` may be injected (distributed path)."""
-    if counts is None:
-        counts = count_pairs(state.words, state.freqs, vocab_cap, count_strategy)
-    left, right, best_count = select_best_pair(counts, state.lex_rank, vocab_cap)
+    """One BPE merge step.
+
+    Distributed callers may inject either the globally-reduced ``counts``
+    table or the already-selected ``best`` (left, right, count) triple
+    (vocab-sharded path, where no single device holds the full table).
+    """
+    if best is not None:
+        left, right, best_count = best
+    else:
+        if counts is None:
+            counts = count_pairs(
+                state.words, state.freqs, vocab_cap, count_strategy
+            )
+        left, right, best_count = select_best_pair(counts, state.lex_rank, vocab_cap)
 
     stop_now = (best_count < max(min_frequency, 1)) | (best_count <= 0)
     stopped = state.stopped | stop_now
     do = ~stopped
 
-    # Merged token bytes + dedup against the live vocabulary.
+    state, new_sym = vocab_update(
+        state, left, right, do, stopped, step_index, vocab_cap
+    )
+
+    new_words = apply_pair_merge(state.words, left, right, new_sym)
+    words = jnp.where(do, new_words, state.words)
+    return state._replace(words=words)
+
+
+def vocab_update(
+    state: TrainState,
+    left: jax.Array,
+    right: jax.Array,
+    do: jax.Array,
+    stopped: jax.Array,
+    step_index: jax.Array,
+    vocab_cap: int,
+) -> tuple[TrainState, jax.Array]:
+    """Token-table / lex-rank / merge-record maintenance for one step.
+
+    Returns the updated state (words untouched) and the merged symbol id
+    (the existing id when the merged bytes are already in the vocabulary —
+    the dedup branch, trainer.py:298-300).
+    """
     merged, merged_len = lexkey.concat_token_bytes(
         state.token_bytes, state.token_len, left, right
     )
@@ -137,9 +171,6 @@ def merge_step(
     )
     next_id = state.next_id + grow.astype(jnp.int32)
 
-    new_words = apply_pair_merge(state.words, left, right, new_sym)
-    words = jnp.where(do, new_words, state.words)
-
     record = jnp.where(
         do,
         jnp.stack([left, right, new_sym]),
@@ -148,16 +179,17 @@ def merge_step(
     merges = state.merges.at[step_index].set(record)
     num_done = state.num_done + do.astype(jnp.int32)
 
-    return TrainState(
-        words=words,
-        freqs=state.freqs,
-        token_bytes=token_bytes,
-        token_len=token_len,
-        lex_rank=lex_rank,
-        next_id=next_id,
-        stopped=stopped,
-        merges=merges,
-        num_done=num_done,
+    return (
+        state._replace(
+            token_bytes=token_bytes,
+            token_len=token_len,
+            lex_rank=lex_rank,
+            next_id=next_id,
+            stopped=stopped,
+            merges=merges,
+            num_done=num_done,
+        ),
+        new_sym,
     )
 
 

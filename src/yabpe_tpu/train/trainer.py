@@ -108,7 +108,7 @@ class BBPETrainer:
             return base, []
 
         vocab_cap = max(cfg.vocab_size, len(base))
-        table_bytes = 4 * vocab_cap * vocab_cap
+        table_bytes = 4 * vocab_cap * vocab_cap // max(1, cfg.vocab_shards)
         if table_bytes > cfg.max_pair_table_bytes:
             raise ValueError(
                 f"dense pair table would need {table_bytes} bytes for "
@@ -128,6 +128,7 @@ class BBPETrainer:
                 num_merges=num_merges,
                 min_frequency=cfg.min_frequency,
                 data_shards=cfg.data_shards,
+                vocab_shards=cfg.vocab_shards,
                 chunk_size=cfg.merge_chunk_size,
             )
         else:
@@ -144,24 +145,57 @@ class BBPETrainer:
 
         from yabpe_tpu.train import state as train_state
 
+        from yabpe_tpu.train import checkpoint as ckpt
+        from yabpe_tpu.train import incremental as inc
+
         cfg = self.config
-        state = train_state.init_state(table, base, vocab_cap, num_merges)
         chunk = max(1, min(cfg.merge_chunk_size, num_merges))
         start = 0
+        core = None
+        if cfg.checkpoint_dir:
+            loaded = ckpt.load_checkpoint(cfg.checkpoint_dir, cfg)
+            if loaded is not None:
+                merges_ids, steps_done = loaded
+                start = min(steps_done, num_merges)
+                core = ckpt.resume_state(
+                    table, base, vocab_cap, num_merges, merges_ids, start
+                )
+                _LOG.info("resumed from checkpoint at merge %d", start)
+        if core is None:
+            core = train_state.init_state(table, base, vocab_cap, num_merges)
+
+        state = inc.IncState(
+            core=core,
+            counts=inc.init_counts(core.words, core.freqs, vocab_cap=vocab_cap),
+        )
+        affected_cap = inc.pick_affected_cap(int(core.words.shape[0]))
+
+        chunks_since_save = 0
         while start < num_merges:
-            state = train_state.merge_chunk(
+            state = inc.merge_chunk_incremental(
                 state,
                 jnp.asarray(start, dtype=jnp.int32),
                 vocab_cap=vocab_cap,
                 min_frequency=cfg.min_frequency,
                 num_merges=num_merges,
                 chunk_size=chunk,
-                count_strategy=cfg.count_strategy,
+                affected_cap=affected_cap,
             )
             start += chunk
-            if bool(state.stopped):
+            chunks_since_save += 1
+            if cfg.checkpoint_dir and chunks_since_save >= max(
+                1, cfg.checkpoint_every_chunks
+            ):
+                ckpt.save_checkpoint(
+                    cfg.checkpoint_dir,
+                    np.asarray(state.core.merges),
+                    min(start, num_merges),
+                    cfg,
+                )
+                chunks_since_save = 0
+            if bool(state.core.stopped):
                 break
-        return np.asarray(state.merges)
+        return np.asarray(state.core.merges)
 
     def save(self, output_dir: str | Path) -> None:
         """Persist the trained model to disk (native latin-1 dialect)."""

@@ -27,7 +27,13 @@ def setup_compilation_cache() -> None:
         root = os.path.dirname(
             os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
         )
-        cache_dir = os.path.join(root, ".jax_cache")
+        # Key the cache on the requested platform set: CPU AOT artifacts
+        # written by a remote-compile service may target different host
+        # features, and loading them cross-machine risks SIGILL.
+        platform = os.environ.get("JAX_PLATFORMS", "default") or "default"
+        cache_dir = os.path.join(
+            root, ".jax_cache", platform.replace(",", "_")
+        )
     try:
         import jax
 

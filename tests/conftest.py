@@ -1,0 +1,73 @@
+"""Pytest configuration.
+
+Tests run on the JAX CPU backend with 8 virtual devices so the distributed
+tier (tier 4, SURVEY.md §4.5) can exercise real meshes/psum without TPU
+hardware. Set YABPE_TEST_TPU=1 to run the suite on the real chip instead.
+"""
+
+from __future__ import annotations
+
+import os
+import pickle
+import sys
+from pathlib import Path
+
+# Must happen before jax is imported anywhere.
+if os.environ.get("YABPE_TEST_TPU", "0") != "1":
+    os.environ["JAX_PLATFORMS"] = "cpu"
+    flags = os.environ.get("XLA_FLAGS", "")
+    if "xla_force_host_platform_device_count" not in flags:
+        os.environ["XLA_FLAGS"] = (
+            flags + " --xla_force_host_platform_device_count=8"
+        ).strip()
+
+REPO = Path(__file__).resolve().parent.parent
+sys.path.insert(0, str(REPO / "src"))
+
+import pytest  # noqa: E402
+
+
+@pytest.fixture(scope="session")
+def tinystories_5m() -> Path:
+    """The regenerated 5 MB TinyStories-style corpus (built on demand)."""
+    path = REPO / "tests" / "fixtures_gpt2" / "tinystories_sample_5M.txt"
+    if not path.exists():
+        sample = (
+            Path("/root/reference/tests/fixtures_gpt2/tinystories_sample.txt")
+            .read_text(encoding="utf-8")
+        )
+        reps = (5 * 1024 * 1024) // len(sample.encode("utf-8")) + 1
+        with open(path, "w", encoding="utf-8") as f:
+            for _ in range(reps):
+                f.write(sample)
+    return path
+
+
+class Snapshot:
+    """Pickle-based snapshot assertion helper (tests/_snapshots)."""
+
+    def __init__(self, test_name: str) -> None:
+        self.dir = REPO / "tests" / "_snapshots"
+        self.dir.mkdir(exist_ok=True)
+        self.test_name = test_name
+
+    def assert_match(self, actual, test_name: str | None = None) -> None:
+        name = test_name or self.test_name
+        path = self.dir / f"{name}.pkl"
+        if os.environ.get("YABPE_SNAPSHOT_UPDATE") == "1" or not path.exists():
+            with open(path, "wb") as f:
+                pickle.dump(actual, f)
+            return
+        with open(path, "rb") as f:
+            expected = pickle.load(f)
+        if isinstance(actual, dict):
+            for key, value in actual.items():
+                assert key in expected, f"key {key!r} missing from snapshot {name}"
+                assert value == expected[key], f"snapshot mismatch for {key!r}"
+        else:
+            assert actual == expected, f"snapshot mismatch for {name}"
+
+
+@pytest.fixture
+def snapshot(request) -> Snapshot:
+    return Snapshot(request.node.name)

@@ -1,0 +1,143 @@
+"""Tier-1/2 tokenizer tests: encode/decode semantics, batch APIs, edges."""
+
+from __future__ import annotations
+
+from pathlib import Path
+
+import pytest
+
+from yabpe_tpu import BBPETokenizer, BBPETrainer, BBPETrainerConfig
+
+from .common import DATA
+
+
+@pytest.fixture(scope="module")
+def model_dir(tmp_path_factory) -> Path:
+    out = tmp_path_factory.mktemp("model")
+    cfg = BBPETrainerConfig(
+        vocab_size=400,
+        min_frequency=1,
+        max_workers=1,
+        special_tokens=["<|endoftext|>"],
+    )
+    tr = BBPETrainer(cfg)
+    tr.train([DATA / "sample.txt", DATA / "unicode.txt"])
+    tr.save(out)
+    return out
+
+
+@pytest.fixture(scope="module")
+def tok(model_dir) -> BBPETokenizer:
+    return BBPETokenizer.from_file(model_dir)
+
+
+@pytest.mark.parametrize(
+    "text",
+    [
+        "hello world",
+        "The curious engineer measured throughput.",
+        "naïve café über",
+        "東京都渋谷区 中文 日本語",
+        "مرحبا بالعالم",
+        "Привет мир",
+        "emoji 🚀🙃🎉 end",
+        "   \t\n  ",
+        "",
+        "a",
+        "don't we'll I've you're",
+        "x" * 5000,
+    ],
+)
+def test_roundtrip(tok, text):
+    assert tok.decode(tok.encode(text)) == text
+
+
+def test_special_token_roundtrip(tok):
+    text = "story one<|endoftext|>story two<|endoftext|>"
+    ids = tok.encode(text)
+    special_id = tok.encode("<|endoftext|>")[0]
+    assert ids.count(special_id) == 2
+    assert tok.decode(ids) == text
+
+
+def test_empty_encode_decode(tok):
+    assert tok.encode("") == []
+    assert tok.decode([]) == ""
+
+
+def test_decode_skips_unknown_ids(tok):
+    ids = tok.encode("hello")
+    noisy = [10**9] + ids + [10**9 + 1]
+    assert tok.decode(noisy) == "hello"
+
+
+def test_decode_invalid_utf8_replaces():
+    vocab = {bytes([b]): b for b in range(256)}
+    t = BBPETokenizer(vocab=vocab, merges=[])
+    assert t.decode([0xFF]) == "�"
+
+
+def test_batch_apis(tok):
+    texts = ["one", "two 東京", "", "three<|endoftext|>"]
+    batch = tok.encode_batch(texts)
+    assert batch == [tok.encode(t) for t in texts]
+    assert tok.decode_batch(batch) == texts
+
+
+def test_encode_batch_device_matches_host(tok):
+    texts = [
+        (DATA / "sample.txt").read_text(encoding="utf-8"),
+        "short",
+        "unicode 東京 🚀<|endoftext|>tail",
+        "",
+    ]
+    assert tok.encode_batch(texts, device=True) == tok.encode_batch(texts)
+
+
+def test_encode_iterable_streams(tok):
+    with open(DATA / "sample.txt", encoding="utf-8") as f:
+        streamed = list(tok.encode_iterable(f))
+    whole = tok.encode((DATA / "sample.txt").read_text(encoding="utf-8"))
+    assert streamed == whole
+
+
+def test_unknown_word_fallback_unk():
+    # Vocab without byte 0x7a ("z"); [UNK] declared.
+    vocab = {bytes([b]): b for b in range(122)}
+    vocab[b"[UNK]"] = 500
+    t = BBPETokenizer(vocab=vocab, merges=[], special_tokens=[])
+    assert t.encode("z") == [500]
+    # without [UNK], falls back to id 0
+    del vocab[b"[UNK]"]
+    t2 = BBPETokenizer(vocab=vocab, merges=[])
+    assert t2.encode("z") == [0]
+
+
+def test_introspection(tok):
+    assert tok.vocab_size == 400 or tok.vocab_size <= 400  # dedups may shrink
+    assert tok.special_tokens == ["<|endoftext|>"]
+    vocab = tok.get_vocab()
+    assert isinstance(vocab, dict) and len(vocab) == tok.vocab_size
+    tok.clear_cache()
+    info = tok.cache_info()
+    assert "hits=0" in info and "misses=0" in info
+    tok.encode("hello hello")
+    assert "misses=" in tok.cache_info()
+
+
+def test_overlapping_specials_longest_first():
+    vocab = {bytes([b]): b for b in range(256)}
+    vocab[b"<|eot|>"] = 256
+    vocab[b"<|eot|><|eot|>"] = 257
+    t = BBPETokenizer(
+        vocab=vocab, merges=[], special_tokens=["<|eot|>", "<|eot|><|eot|>"]
+    )
+    ids = t.encode("<|eot|><|eot|>")
+    assert ids == [257]
+
+
+def test_from_file_tolerates_malformed_merge_lines(tmp_path: Path):
+    (tmp_path / "vocab.json").write_text('{"a": 97, "b": 98, "ab": 256}')
+    (tmp_path / "merges.txt").write_text("a b\n\nmalformedline\n")
+    t = BBPETokenizer.from_file(tmp_path)
+    assert t.encode("ab") == [256]
