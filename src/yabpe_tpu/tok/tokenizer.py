@@ -151,6 +151,30 @@ class BBPETokenizer:
         for piece in iterable:
             yield from self.encode(piece)
 
+    def encode_file(
+        self,
+        path,
+        *,
+        max_workers: int | None = None,
+        chunk_bytes: int = 4 * 1024 * 1024,
+    ):
+        """Encode a whole file exactly, parallelized over a process pool.
+
+        Files are split only at pretoken-safe boundaries (see
+        yabpe_tpu.tok.parallel_encode), so the result is byte-identical to
+        ``encode(file_contents)``. Returns an int32 numpy array.
+        """
+        from yabpe_tpu.tok.parallel_encode import encode_file_parallel
+
+        return encode_file_parallel(
+            path,
+            self._vocab,
+            self._merges,
+            self._special_tokens,
+            max_workers=max_workers,
+            chunk_bytes=chunk_bytes,
+        )
+
     def _get_device_encoder(self):
         if self._device_encoder is None:
             from yabpe_tpu.tok.device_encode import DeviceEncoder
