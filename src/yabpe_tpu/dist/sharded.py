@@ -60,7 +60,7 @@ def _sharded_chunk(
     num_merges: int,
     chunk_size: int,
 ) -> TrainState:
-    """Chunk body running per-device inside shard_map."""
+    """Chunk body running per-device inside shard_map (full recount)."""
 
     def body(i, st):
         step = chunk_start + i
@@ -75,6 +75,79 @@ def _sharded_chunk(
             counts=counts,
         )
         return jax.tree.map(lambda a, b: jnp.where(in_range, a, b), st_next, st)
+
+    return jax.lax.fori_loop(0, chunk_size, body, state)
+
+
+def _sharded_chunk_incremental(
+    state,
+    chunk_start: jax.Array,
+    *,
+    vocab_cap: int,
+    min_frequency: int,
+    num_merges: int,
+    chunk_size: int,
+    affected_cap: int,
+):
+    """Incremental chunk body: replicated count table + psum'd deltas.
+
+    ``state`` is an IncState whose ``counts`` leaf is replicated and whose
+    word rows are data-sharded. Each step, every device computes the delta
+    from its local affected rows; one psum of the (sparse-in-content, dense-
+    in-shape) delta keeps the replicated table identical everywhere. When
+    any shard overflows its affected buffer, every shard contributes a
+    full-recount correction instead: shard 0 subtracts the old table so
+    ``counts + psum(contribution)`` lands on the fresh global recount —
+    a single integer-exact psum covers both cases, keeping the collective
+    outside ``lax.cond``.
+    """
+    from yabpe_tpu.kernels.merge_apply import apply_pair_merge
+    from yabpe_tpu.kernels.select import select_best_pair
+    from yabpe_tpu.train.incremental import IncState, count_delta_and_apply
+    from yabpe_tpu.train.state import vocab_update
+
+    def body(i, s):
+        st = s.core
+        step = chunk_start + i
+        in_range = step < num_merges
+        rec_idx = jnp.minimum(step, num_merges - 1)
+
+        left, right, best_count = select_best_pair(
+            s.counts, st.lex_rank, vocab_cap
+        )
+        stop_now = (best_count < max(min_frequency, 1)) | (best_count <= 0)
+        stopped = st.stopped | stop_now
+        do = ~stopped
+
+        st2, new_sym = vocab_update(
+            st, left, right, do, stopped, rec_idx, vocab_cap
+        )
+
+        new_words, delta, overflowed = count_delta_and_apply(
+            st2.words, st2.freqs, left, right, new_sym,
+            vocab_cap=vocab_cap, affected_cap=affected_cap,
+        )
+        any_overflow = jax.lax.pmax(overflowed.astype(jnp.int32), "data") > 0
+        is_first = jax.lax.axis_index("data") == 0
+
+        def contrib_incremental(_):
+            return new_words, delta
+
+        def contrib_full(_):
+            full_words = apply_pair_merge(st2.words, left, right, new_sym)
+            local = pair_counts_dense(full_words, st2.freqs, vocab_cap)
+            correction = jnp.where(is_first, local - s.counts, local)
+            return full_words, correction
+
+        words, contribution = jax.lax.cond(
+            any_overflow, contrib_full, contrib_incremental, None
+        )
+        counts = s.counts + jax.lax.psum(contribution, "data")
+
+        words = jnp.where(do, words, st2.words)
+        counts = jnp.where(do, counts, s.counts)
+        s_next = IncState(core=st2._replace(words=words), counts=counts)
+        return jax.tree.map(lambda a, b: jnp.where(in_range, a, b), s_next, s)
 
     return jax.lax.fori_loop(0, chunk_size, body, state)
 
@@ -172,16 +245,10 @@ def run_sharded_merge_loop(
     else:
         mesh = make_data_mesh(data_shards)
     table = table.pad_rows_to(_round_up(table.words.shape[0], data_shards))
-    state = init_state(table, base_vocab, vocab_cap, num_merges)
-
-    specs = state_partition_specs()
-    state = jax.device_put(
-        state,
-        jax.tree.map(lambda s: NamedSharding(mesh, s), specs,
-                     is_leaf=lambda x: isinstance(x, P)),
-    )
+    core = init_state(table, base_vocab, vocab_cap, num_merges)
 
     chunk = max(1, min(chunk_size, num_merges))
+    core_specs = state_partition_specs()
     if vocab_shards > 1:
         body = partial(
             _sharded_chunk_2d,
@@ -191,14 +258,35 @@ def run_sharded_merge_loop(
             chunk_size=chunk,
             vocab_shards=vocab_shards,
         )
+        state = core
+        specs = core_specs
     else:
+        from yabpe_tpu.train.incremental import (
+            IncState,
+            init_counts,
+            pick_affected_cap,
+        )
+
+        rows_per_shard = table.words.shape[0] // data_shards
         body = partial(
-            _sharded_chunk,
+            _sharded_chunk_incremental,
             vocab_cap=vocab_cap,
             min_frequency=min_frequency,
             num_merges=num_merges,
             chunk_size=chunk,
+            affected_cap=pick_affected_cap(rows_per_shard),
         )
+        state = IncState(
+            core=core,
+            counts=init_counts(core.words, core.freqs, vocab_cap=vocab_cap),
+        )
+        specs = IncState(core=core_specs, counts=P())
+
+    state = jax.device_put(
+        state,
+        jax.tree.map(lambda s: NamedSharding(mesh, s), specs,
+                     is_leaf=lambda x: isinstance(x, P)),
+    )
     fn = jax.jit(
         shard_map(
             body,
@@ -214,9 +302,11 @@ def run_sharded_merge_loop(
     while start < num_merges:
         state = fn(state, jnp.asarray(start, dtype=jnp.int32))
         start += chunk
-        if bool(state.stopped):
+        core_out = state.core if vocab_shards == 1 else state
+        if bool(core_out.stopped):
             break
-    return np.asarray(state.merges)
+    core_out = state.core if vocab_shards == 1 else state
+    return np.asarray(core_out.merges)
 
 
 __all__ = ["run_sharded_merge_loop", "state_partition_specs"]

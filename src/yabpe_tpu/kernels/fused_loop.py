@@ -423,6 +423,17 @@ def _merge_loop_kernel(
     jax.lax.fori_loop(0, chunk_size, step_body, 0)
 
 
+@partial(
+    jax.jit,
+    static_argnames=(
+        "vocab_cap",
+        "num_merges",
+        "chunk_size",
+        "min_frequency",
+        "batch_rows",
+        "interpret",
+    ),
+)
 def fused_merge_chunk(
     words: jax.Array,
     counts: jax.Array,
@@ -443,6 +454,9 @@ def fused_merge_chunk(
     """Run ``chunk_size`` fused merge steps; returns the updated state tuple
 
     (words, counts, token_bytes, token_len, lex_rank, merges, scalars).
+
+    Wrapped in jax.jit so the Mosaic program goes through the persistent
+    compilation cache (bare pallas_call dispatch recompiles per process).
     """
     kernel = partial(
         _merge_loop_kernel,

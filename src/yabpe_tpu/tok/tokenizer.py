@@ -67,6 +67,28 @@ class BBPETokenizer:
         vocab, merges, special_tokens = load_model(model_dir)
         return cls(vocab=vocab, merges=merges, special_tokens=special_tokens)
 
+    @classmethod
+    def from_gpt2_files(
+        cls,
+        vocab_json: str | Path,
+        merges_txt: str | Path,
+        special_tokens: list[str] | None = None,
+    ) -> "BBPETokenizer":
+        """Load GPT-2-dialect files (printable-unicode remap) natively.
+
+        Accepts the published ``vocab.json``/``merges.txt`` format (e.g. the
+        official GPT-2 release); see yabpe_tpu.io.gpt2.
+        """
+        from yabpe_tpu.io import gpt2 as gpt2io
+
+        vocab = gpt2io.load_gpt2_vocab(vocab_json)
+        merges = gpt2io.load_gpt2_merges(merges_txt)
+        if special_tokens is None:
+            special_tokens = (
+                ["<|endoftext|>"] if b"<|endoftext|>" in vocab else []
+            )
+        return cls(vocab=vocab, merges=merges, special_tokens=special_tokens)
+
     # ------------------------------------------------------------------ encode
 
     def encode(self, text: str) -> list[int]:

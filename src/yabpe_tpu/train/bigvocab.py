@@ -1,0 +1,235 @@
+"""Large-vocabulary merge loop: HBM count table + lazy row-max selection.
+
+The dense [V, V] count table for a 32k-merge vocabulary is 4 GB — far past
+VMEM but comfortable in HBM. The costly part is selection: a full-table
+argmax per step reads the whole 4 GB. This driver keeps a per-row maximum
+cache (``row_max``) that is maintained as an *upper bound*:
+
+- increases are folded in eagerly (scatter-max of the post-update values at
+  every cell the delta touched);
+- decreases may leave a stale bound, which selection repairs lazily: pick
+  the lex-greatest row among rows whose bound equals the global bound
+  maximum, re-scan just that row, and either confirm (bound tight -> it is
+  the true global max, since every other row's true max is below its own
+  bound <= this one) or tighten and retry. Stale tops are rare, so the
+  verify loop almost always runs once.
+
+Per-step cost becomes O(V + affected*width) instead of O(V^2), which makes
+single-chip 32k-merge training tractable. Semantics are bit-identical to
+the reference loop (same tie-breaking, dedup, min-frequency stop).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from yabpe_tpu.core.vocab import Vocab
+from yabpe_tpu.core.wordtable import WordTable
+from yabpe_tpu.kernels.merge_apply import apply_pair_merge
+from yabpe_tpu.kernels.pair_count import pair_counts_dense
+from yabpe_tpu.train.incremental import count_delta_and_apply, pick_affected_cap
+from yabpe_tpu.train.state import TrainState, init_state, vocab_update
+
+
+class BigState(NamedTuple):
+    core: TrainState
+    counts: jax.Array   # [V*V] i32
+    row_max: jax.Array  # [V] i32 upper bound on each row's max
+
+
+def lazy_select(
+    counts_flat: jax.Array,
+    row_max: jax.Array,
+    lex_rank: jax.Array,
+    vocab_cap: int,
+) -> tuple[jax.Array, jax.Array, jax.Array, jax.Array]:
+    """Exact (left, right, count) via bound verification; returns updated
+    row_max with any stale tops tightened."""
+    V = vocab_cap
+
+    def cond(carry):
+        _, _, ok = carry
+        return jnp.logical_not(ok)
+
+    def body(carry):
+        rm, _, _ = carry
+        m = jnp.max(rm)
+        cand = rm == m
+        a = jnp.argmax(jnp.where(cand, lex_rank, -1)).astype(jnp.int32)
+        row = jax.lax.dynamic_slice(counts_flat, (a * V,), (V,))
+        true_max = jnp.max(row)
+        ok = true_max == m
+        rm = rm.at[a].set(true_max)
+        return (rm, a, ok)
+
+    row_max, a, _ = jax.lax.while_loop(
+        cond, body, (row_max, jnp.int32(0), jnp.bool_(False))
+    )
+    m = jnp.max(row_max)
+    row = jax.lax.dynamic_slice(counts_flat, (a * V,), (V,))
+    b = jnp.argmax(jnp.where(row == m, lex_rank, -1)).astype(jnp.int32)
+    return a, b, m, row_max
+
+
+def merge_step_big(
+    state: BigState,
+    step_index: jax.Array,
+    *,
+    vocab_cap: int,
+    min_frequency: int,
+    affected_cap: int,
+) -> BigState:
+    V = vocab_cap
+    st = state.core
+    left, right, best_count, row_max = lazy_select(
+        state.counts, state.row_max, st.lex_rank, V
+    )
+    stop_now = (best_count < max(min_frequency, 1)) | (best_count <= 0)
+    stopped = st.stopped | stop_now
+    do = ~stopped
+
+    st, new_sym = vocab_update(
+        st, left, right, do, stopped, step_index, vocab_cap
+    )
+
+    new_words, delta, overflowed, touched_keys = _delta_with_keys(
+        st.words, st.freqs, left, right, new_sym,
+        vocab_cap=V, affected_cap=affected_cap,
+    )
+
+    def incremental(_):
+        counts = state.counts + delta
+        # Fold increases into the bounds: gather post-update values at every
+        # touched cell and scatter-max into row_max.
+        safe = jnp.minimum(touched_keys, V * V - 1)
+        vals = jnp.where(touched_keys < V * V, counts[safe], -1)
+        rows = safe // V
+        rm = row_max.at[rows].max(vals)
+        return new_words, counts, rm
+
+    def full(_):
+        full_words = apply_pair_merge(st.words, left, right, new_sym)
+        counts = pair_counts_dense(full_words, st.freqs, V)
+        rm = jnp.max(counts.reshape(V, V), axis=1)
+        return full_words, counts, rm
+
+    words, counts, rm = jax.lax.cond(overflowed, full, incremental, None)
+    words = jnp.where(do, words, st.words)
+    counts = jnp.where(do, counts, state.counts)
+    rm = jnp.where(do, rm, row_max)
+    return BigState(core=st._replace(words=words), counts=counts, row_max=rm)
+
+
+def _delta_with_keys(words, freqs, left, right, new_sym, *, vocab_cap, affected_cap):
+    """count_delta_and_apply variant that also returns the touched keys."""
+    from yabpe_tpu.kernels.pair_count import adjacent_pairs
+    from yabpe_tpu.train.incremental import _affected_slots, _pair_delta
+
+    n = words.shape[0]
+    l = words[:, :-1]
+    r = words[:, 1:]
+    affected = jnp.any((l == left) & (r == right) & (l >= 0), axis=1)
+    n_aff = jnp.sum(affected.astype(jnp.int32))
+    overflowed = n_aff > affected_cap
+
+    idx_buf, val_buf = _affected_slots(affected, affected_cap)
+    safe_idx = jnp.minimum(idx_buf, n - 1)
+    rows = words[safe_idx]
+    f = jnp.where(val_buf, freqs[safe_idx], 0)
+
+    old_keys, old_w = _pair_delta(rows, f, vocab_cap, -1)
+    new_rows = apply_pair_merge(rows, left, right, new_sym)
+    new_keys, new_w = _pair_delta(new_rows, f, vocab_cap, +1)
+
+    delta = jnp.zeros((vocab_cap * vocab_cap,), dtype=jnp.int32)
+    delta = delta.at[old_keys].add(old_w, mode="drop")
+    delta = delta.at[new_keys].add(new_w, mode="drop")
+
+    scatter_rows = jnp.where(val_buf[:, None], new_rows, rows)
+    new_words = words.at[idx_buf].set(scatter_rows, mode="drop")
+    touched = jnp.concatenate([old_keys, new_keys])
+    return new_words, delta, overflowed, touched
+
+
+@partial(
+    jax.jit,
+    static_argnames=(
+        "vocab_cap",
+        "min_frequency",
+        "num_merges",
+        "chunk_size",
+        "affected_cap",
+    ),
+    donate_argnums=(0,),
+)
+def merge_chunk_big(
+    state: BigState,
+    chunk_start: jax.Array,
+    *,
+    vocab_cap: int,
+    min_frequency: int,
+    num_merges: int,
+    chunk_size: int,
+    affected_cap: int,
+) -> BigState:
+    def body(i, s):
+        step = chunk_start + i
+        in_range = step < num_merges
+        s_next = merge_step_big(
+            s,
+            jnp.minimum(step, num_merges - 1),
+            vocab_cap=vocab_cap,
+            min_frequency=min_frequency,
+            affected_cap=affected_cap,
+        )
+        return jax.tree.map(lambda a, b: jnp.where(in_range, a, b), s_next, s)
+
+    return jax.lax.fori_loop(0, chunk_size, body, state)
+
+
+def run_bigvocab_merge_loop(
+    table: WordTable,
+    base_vocab: Vocab,
+    *,
+    vocab_cap: int,
+    num_merges: int,
+    min_frequency: int,
+    chunk_size: int = 256,
+) -> np.ndarray:
+    """Driver: returns the [num_merges, 3] merge record."""
+    core = init_state(table, base_vocab, vocab_cap, num_merges)
+    counts = pair_counts_dense(core.words, core.freqs, vocab_cap)
+    row_max = jnp.max(counts.reshape(vocab_cap, vocab_cap), axis=1)
+    state = BigState(core=core, counts=counts, row_max=row_max)
+    affected_cap = pick_affected_cap(int(core.words.shape[0]))
+
+    chunk = max(1, min(chunk_size, num_merges))
+    start = 0
+    while start < num_merges:
+        state = merge_chunk_big(
+            state,
+            jnp.asarray(start, dtype=jnp.int32),
+            vocab_cap=vocab_cap,
+            min_frequency=min_frequency,
+            num_merges=num_merges,
+            chunk_size=chunk,
+            affected_cap=affected_cap,
+        )
+        start += chunk
+        if bool(state.core.stopped):
+            break
+    return np.asarray(state.core.merges)
+
+
+__all__ = [
+    "BigState",
+    "lazy_select",
+    "merge_step_big",
+    "merge_chunk_big",
+    "run_bigvocab_merge_loop",
+]

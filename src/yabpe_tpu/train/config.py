@@ -48,6 +48,11 @@ class BBPETrainerConfig:
             every ``checkpoint_every_chunks`` chunks and training resumes
             from it after a crash (deterministic replay).
         checkpoint_every_chunks: checkpoint cadence in merge chunks.
+        use_fused_kernel: run the merge loop as the fused Pallas VMEM
+            kernel (True), the XLA incremental path (False), or pick
+            automatically by VMEM budget and backend (None). The fused
+            kernel requires a TPU backend and is unavailable with
+            checkpointing or data sharding.
     """
 
     vocab_size: int = 32000
@@ -66,9 +71,10 @@ class BBPETrainerConfig:
     align_chunks_to_newline: bool = False
     data_shards: int | None = None
     vocab_shards: int = 1
-    max_pair_table_bytes: int = 2 * 1024 * 1024 * 1024
+    max_pair_table_bytes: int = 6 * 1024 * 1024 * 1024
     checkpoint_dir: str | None = None
     checkpoint_every_chunks: int = 4
+    use_fused_kernel: bool | None = None
 
 
 __all__ = ["BBPETrainerConfig"]

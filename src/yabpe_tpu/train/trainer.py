@@ -149,6 +149,32 @@ class BBPETrainer:
         from yabpe_tpu.train import incremental as inc
 
         cfg = self.config
+        if self._should_use_fused(table, vocab_cap):
+            from yabpe_tpu.train.fused_driver import run_fused_merge_loop
+
+            return run_fused_merge_loop(
+                table,
+                base,
+                vocab_cap=vocab_cap,
+                num_merges=num_merges,
+                min_frequency=cfg.min_frequency,
+                chunk_size=cfg.merge_chunk_size,
+            )
+
+        if vocab_cap > 2048 and not cfg.checkpoint_dir:
+            # Large vocabularies: HBM count table + lazy row-max selection
+            # (O(V) per step instead of an O(V^2) full-table argmax).
+            from yabpe_tpu.train.bigvocab import run_bigvocab_merge_loop
+
+            return run_bigvocab_merge_loop(
+                table,
+                base,
+                vocab_cap=vocab_cap,
+                num_merges=num_merges,
+                min_frequency=cfg.min_frequency,
+                chunk_size=cfg.merge_chunk_size,
+            )
+
         chunk = max(1, min(cfg.merge_chunk_size, num_merges))
         start = 0
         core = None
@@ -196,6 +222,31 @@ class BBPETrainer:
             if bool(state.core.stopped):
                 break
         return np.asarray(state.core.merges)
+
+    def _should_use_fused(self, table, vocab_cap: int) -> bool:
+        cfg = self.config
+        if cfg.use_fused_kernel is False:
+            return False
+        if cfg.checkpoint_dir:
+            return False  # resume path is wired to the XLA state layout
+        from yabpe_tpu.train.fused_driver import fused_applicable
+
+        import jax
+
+        fits = fused_applicable(
+            int(table.words.shape[0]),
+            int(table.words.shape[1]),
+            vocab_cap,
+            max(table.width, 2),
+        )
+        if cfg.use_fused_kernel is True:
+            if not fits:
+                raise ValueError(
+                    "use_fused_kernel=True but the problem exceeds the "
+                    "kernel's VMEM budget"
+                )
+            return True
+        return fits and jax.default_backend() == "tpu"
 
     def save(self, output_dir: str | Path) -> None:
         """Persist the trained model to disk (native latin-1 dialect)."""
