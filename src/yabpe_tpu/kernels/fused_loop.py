@@ -338,45 +338,37 @@ def _merge_loop_kernel(
             keep = jnp.logical_not(removed_at) & (rows >= 0)
             new_rows = _butterfly_compact(new_vals, keep, -1)
 
-            # Line-histogram deltas (old minus new) over the batch.
-            def line_hists(rws):
-                l_ = rws[:, : W - 1]
-                r_ = rws[:, 1:]
-                vmask = l_ >= 0
-                col_a = jnp.zeros((1, V), I32)
-                col_c = jnp.zeros((1, V), I32)
-                row_b = jnp.zeros((1, V), I32)
-                row_c = jnp.zeros((1, V), I32)
-                ab = jnp.zeros((), I32)
-                for j in range(W - 1):
-                    lj = l_[:, j].reshape(A, 1)
-                    rj = r_[:, j].reshape(A, 1)
-                    vj = vmask[:, j].reshape(A, 1)
-                    oh_l = (lj == iota_v) & vj  # [A, V]
-                    oh_r = (rj == iota_v) & vj
-                    col_a = col_a + jnp.sum(
-                        jnp.where(oh_l & (rj == a), fcol, 0), axis=0
-                    ).reshape(1, V)
-                    col_c = col_c + jnp.sum(
-                        jnp.where(oh_l & (rj == c), fcol, 0), axis=0
-                    ).reshape(1, V)
-                    row_b = row_b + jnp.sum(
-                        jnp.where(oh_r & (lj == b), fcol, 0), axis=0
-                    ).reshape(1, V)
-                    row_c = row_c + jnp.sum(
-                        jnp.where(oh_r & (lj == c), fcol, 0), axis=0
-                    ).reshape(1, V)
-                    ab = ab + jnp.sum(
-                        jnp.where((lj == a) & (rj == b) & vj, fcol, 0)
-                    ).astype(I32)
-                return col_a, col_c, row_b, row_c, ab
-
-            o_ca, o_cc, o_rb, o_rc, o_ab = line_hists(rows)
-            n_ca, n_cc, n_rb, n_rc, n_ab = line_hists(new_rows)
-            d_col_a = n_ca - o_ca
-            d_col_c = n_cc - o_cc
-            d_row_b = n_rb - o_rb
-            d_row_c = n_rc - o_rc
+            # Line-histogram deltas in one signed pass: concat old rows
+            # (weight -f) with new rows (weight +f) and reduce 3D one-hot
+            # masks over (rows, positions) at full VPU width.
+            rows_cat = jnp.concatenate([rows, new_rows], axis=0)  # [2A, W]
+            f_cat = jnp.concatenate([-fcol, fcol], axis=0)        # [2A, 1]
+            lc = rows_cat[:, : W - 1]
+            rc_ = rows_cat[:, 1:]
+            vc = lc >= 0
+            fp = jnp.broadcast_to(f_cat, (2 * A, W - 1))
+            # Reshape only int vectors to 3D (Mosaic rejects i1 reshapes)
+            # and rebuild the masks in 3D.
+            l3 = lc[:, :, None]
+            r3 = rc_[:, :, None]
+            v3 = l3 >= 0
+            f3 = fp[:, :, None]
+            iv3 = iota_v.reshape(1, 1, V)
+            oh_l = (l3 == iv3) & v3  # [2A, W-1, V]
+            oh_r = (r3 == iv3) & v3
+            d_col_a = jnp.sum(
+                jnp.where(oh_l & (r3 == a), f3, 0), axis=(0, 1)
+            ).reshape(1, V)
+            d_col_c = jnp.sum(
+                jnp.where(oh_l & (r3 == c), f3, 0), axis=(0, 1)
+            ).reshape(1, V)
+            d_row_b = jnp.sum(
+                jnp.where(oh_r & (l3 == b), f3, 0), axis=(0, 1)
+            ).reshape(1, V)
+            d_row_c = jnp.sum(
+                jnp.where(oh_r & (l3 == c), f3, 0), axis=(0, 1)
+            ).reshape(1, V)
+            d_ab = jnp.sum(jnp.where((lc == a) & (rc_ == b) & vc, fp, 0))
 
             # Column updates over the whole table.
             col_term = jnp.where(
@@ -399,7 +391,7 @@ def _merge_loop_kernel(
 
             # Off-line cell (a, b) unless a == b (then already on-line).
             ab_vec = jnp.where(
-                (iota_v == b) & (a != b), n_ab - o_ab, 0
+                (iota_v == b) & (a != b), d_ab, 0
             )
             ra_cur = counts_ref[pl.ds(a, 1), :]
             counts_ref[pl.ds(a, 1), :] = ra_cur + ab_vec
