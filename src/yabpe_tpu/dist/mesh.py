@@ -18,10 +18,12 @@ import jax
 import numpy as np
 from jax.sharding import Mesh
 
+from yabpe_tpu.utils.jaxsetup import compute_devices
+
 
 def make_data_mesh(num_shards: int | None = None) -> Mesh:
     """1-D ``data`` mesh over the first ``num_shards`` local devices."""
-    devices = jax.devices()
+    devices = compute_devices()
     if num_shards is None:
         num_shards = len(devices)
     if num_shards > len(devices):
@@ -33,7 +35,7 @@ def make_data_mesh(num_shards: int | None = None) -> Mesh:
 
 def make_2d_mesh(data_shards: int, vocab_shards: int) -> Mesh:
     """(data, vocab) mesh; data x vocab must cover exactly that many devices."""
-    devices = np.asarray(jax.devices())
+    devices = np.asarray(compute_devices())
     need = data_shards * vocab_shards
     if need > devices.size:
         raise ValueError(f"need {need} devices, have {devices.size}")

