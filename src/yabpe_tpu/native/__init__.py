@@ -88,11 +88,14 @@ def _load() -> ctypes.CDLL | None:
         if os.environ.get("YABPE_NO_NATIVE"):
             _load_failed = True
             return None
-        if _stale() and not _build():
-            _load_failed = True
-            return None
+        so_path = os.environ.get("YABPE_NATIVE_SO")  # debug/ASan override
+        if not so_path:
+            if _stale() and not _build():
+                _load_failed = True
+                return None
+            so_path = str(_SO_PATH)
         try:
-            lib = ctypes.CDLL(str(_SO_PATH))
+            lib = ctypes.CDLL(so_path)
         except OSError:
             _load_failed = True
             return None

@@ -1,0 +1,138 @@
+"""Native C++ pre-tokenizer parity vs the regex reference implementation.
+
+The scanner must reproduce `regex.findall` on the GPT-2 split pattern
+byte-for-byte (reference pattern: tokenizer.py:45 / trainer.py:163 of
+/root/reference/src/yet_another_bpe), including the trainer-dialect
+special-token alternation, on every fixture plus randomized fuzz corpora.
+"""
+
+from __future__ import annotations
+
+import random
+from collections import Counter
+
+import pytest
+
+from yabpe_tpu import native
+from yabpe_tpu.pretok.patterns import (
+    compile_gpt2_pattern,
+    compile_trainer_pattern,
+)
+
+from .common import DATA, REF_FIXTURES
+
+pytestmark = pytest.mark.skipif(
+    not native.available(), reason="native library unavailable"
+)
+
+_FUZZ_ALPHABET = list("abc XYZ'01\t\n\r  　中\xdf٣\xbf—\U0001f44b") + [
+    "<|endoftext|>",
+    "<|eot|>",
+    "'ll",
+    " '",
+    "\U0001f44b\U0001f3fd",  # emoji + skin-tone modifier
+]
+
+
+def _native_tokens(text: str) -> list[str]:
+    data = text.encode("utf-8")
+    ends = native.pretok_offsets(data)
+    out, prev = [], 0
+    for end in ends.tolist():
+        out.append(data[prev:end].decode("utf-8"))
+        prev = end
+    return out
+
+
+@pytest.mark.parametrize(
+    "fixture",
+    ["address.txt", "german.txt", "tinystories_sample.txt", "corpus.en"],
+)
+def test_scanner_matches_regex_on_fixtures(fixture):
+    text = (REF_FIXTURES / fixture).read_text(encoding="utf-8")
+    assert _native_tokens(text) == compile_gpt2_pattern().findall(text)
+
+
+@pytest.mark.parametrize(
+    "text",
+    [
+        "",
+        " ",
+        "\n",
+        "a",
+        "' ",
+        "x\n\n\ny",
+        "'s'd'm't'll've're'x ' '' a'b",
+        "   　 mixed space",
+        "  trailing   \n\n\nnewlines\t\ttabs \n",
+        "caf\xe9 'S 'LL don't 123٤٥",
+    ],
+)
+def test_scanner_edge_cases(text):
+    assert _native_tokens(text) == compile_gpt2_pattern().findall(text)
+
+
+def test_scanner_fuzz_matches_regex():
+    pat = compile_gpt2_pattern()
+    rng = random.Random(20260817)
+    for _ in range(500):
+        text = "".join(
+            rng.choice(_FUZZ_ALPHABET) for _ in range(rng.randint(0, 40))
+        )
+        assert _native_tokens(text) == pat.findall(text), repr(text)
+
+
+def test_counter_matches_trainer_dialect_fuzz():
+    specials = ("<|endoftext|>", "<|eot|>")
+    pat = compile_trainer_pattern(specials)
+    rng = random.Random(7)
+    for _ in range(300):
+        text = "".join(
+            rng.choice(_FUZZ_ALPHABET) for _ in range(rng.randint(0, 60))
+        )
+        ref = Counter(t.encode("utf-8") for t in pat.findall(text))
+        counter = native.NativeCounter(specials)
+        counter.add(text.encode("utf-8"))
+        words, lens, counts = counter.export()
+        counter.close()
+        got: Counter[bytes] = Counter()
+        off = 0
+        for length, count in zip(lens.tolist(), counts.tolist()):
+            got[words[off : off + length]] += count
+            off += length
+        assert got == ref, repr(text)
+
+
+def test_word_ids_reconstruct_stream():
+    text = (DATA / "multiline.txt").read_text(encoding="utf-8")
+    data = text.encode("utf-8")
+    counter = native.NativeCounter()
+    occ = counter.add_word_ids(data)
+    uniq = counter.export_words()
+    counter.close()
+    rebuilt = b"".join(uniq[i] for i in occ.tolist())
+    assert rebuilt == data
+    assert [uniq[i].decode("utf-8") for i in occ.tolist()] == (
+        compile_gpt2_pattern().findall(text)
+    )
+
+
+def test_ingest_native_equals_regex_path(tmp_path):
+    from yabpe_tpu.pretok.ingest import _count_span, count_pretokens
+
+    text = (REF_FIXTURES / "corpus.en").read_text(encoding="utf-8")
+    p = tmp_path / "c.txt"
+    p.write_text(text, encoding="utf-8")
+    specials = ("<|endoftext|>",)
+    native_counts = count_pretokens(
+        [p], specials, chunk_size_bytes=16 * 1024, max_workers=4
+    )
+    # Pure-regex oracle over the *same* spans (chunk boundaries may split
+    # pre-tokens — reference-faithful behavior, trainer.py:183-197 — so the
+    # oracle must chunk identically).
+    from yabpe_tpu.pretok.chunking import chunk_spans
+
+    ref_counts: Counter[bytes] = Counter()
+    for start, end in chunk_spans(p, 16 * 1024):
+        ref_counts.update(_count_span(str(p), start, end, specials))
+    assert native_counts == ref_counts
