@@ -285,6 +285,58 @@ int64_t counter_add_word(Counter* c, const uint8_t* word, int32_t len,
 
 extern "C" {
 
+// Validate UTF-8 (same acceptance as CPython's strict decoder: rejects
+// continuation/lead errors, overlongs, surrogates, > U+10FFFF, truncation).
+// Returns -1 when valid, else the byte offset of the first invalid byte.
+// Lets the ingest path validate without the GIL (reference raises a
+// positioned ValueError, trainer.py:155-160 — the Python layer re-raises
+// via str.decode at the reported offset for message parity).
+int64_t yabpe_utf8_validate(const uint8_t* text, int64_t n) {
+  int64_t i = 0;
+  while (i < n) {
+    uint8_t b0 = text[i];
+    if (b0 < 0x80) {
+      ++i;
+      continue;
+    }
+    int need;
+    uint8_t lo = 0x80, hi = 0xBF;
+    if (b0 >= 0xC2 && b0 <= 0xDF) {
+      need = 1;
+    } else if (b0 == 0xE0) {
+      need = 2;
+      lo = 0xA0;
+    } else if (b0 >= 0xE1 && b0 <= 0xEC) {
+      need = 2;
+    } else if (b0 == 0xED) {
+      need = 2;
+      hi = 0x9F;  // exclude surrogates
+    } else if (b0 >= 0xEE && b0 <= 0xEF) {
+      need = 2;
+    } else if (b0 == 0xF0) {
+      need = 3;
+      lo = 0x90;
+    } else if (b0 >= 0xF1 && b0 <= 0xF3) {
+      need = 3;
+    } else if (b0 == 0xF4) {
+      need = 3;
+      hi = 0x8F;
+    } else {
+      return i;
+    }
+    if (i + need >= n) return i;  // truncated at end of buffer
+    // first continuation byte has the restricted range
+    uint8_t c1 = text[i + 1];
+    if (c1 < lo || c1 > hi) return i;
+    for (int k = 2; k <= need; ++k) {
+      uint8_t ck = text[i + k];
+      if (ck < 0x80 || ck > 0xBF) return i;
+    }
+    i += need + 1;
+  }
+  return -1;
+}
+
 // Encode path: fill `ends` with token end byte-offsets (no specials — the
 // tokenizer splits on specials beforehand, tokenizer.py:88-104 dialect).
 // Returns the total number of tokens; only min(total, cap) entries are

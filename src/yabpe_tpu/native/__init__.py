@@ -107,6 +107,8 @@ def _load() -> ctypes.CDLL | None:
             ctypes.POINTER(ctypes.c_int32),
             ctypes.c_int64,
         ]
+        lib.yabpe_utf8_validate.restype = ctypes.c_int64
+        lib.yabpe_utf8_validate.argtypes = [ctypes.c_char_p, ctypes.c_int64]
         lib.yabpe_pretok_word_ids.restype = ctypes.c_int64
         lib.yabpe_pretok_word_ids.argtypes = [
             ctypes.c_void_p,
@@ -148,6 +150,17 @@ def _load() -> ctypes.CDLL | None:
 def available() -> bool:
     """True when the native library is built and loadable."""
     return _load() is not None
+
+
+def utf8_invalid_at(data: bytes) -> int:
+    """Byte offset of the first invalid UTF-8 sequence, or -1 if valid.
+
+    Matches CPython's strict decoder acceptance (surrogates, overlongs,
+    truncation and > U+10FFFF all rejected).
+    """
+    lib = _load()
+    assert lib is not None, "native library unavailable"
+    return int(lib.yabpe_utf8_validate(data, len(data)))
 
 
 def pretok_offsets(data: bytes) -> np.ndarray:

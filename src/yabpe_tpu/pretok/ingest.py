@@ -56,7 +56,9 @@ def _count_span_native(
     workers get real host-core parallelism.
     """
     data = chunking.read_span(path, start, end)
-    chunking.decode_span_utf8(data, path, start)  # validation only
+    if native.utf8_invalid_at(data) >= 0:
+        # Raise the reference-parity positioned ValueError.
+        chunking.decode_span_utf8(data, path, start)
     counter = native.NativeCounter(special_tokens)
     counter.add(data)
     return counter

@@ -117,6 +117,54 @@ def test_word_ids_reconstruct_stream():
     )
 
 
+def test_utf8_validator_matches_python():
+    cases = [
+        b"hello",
+        "Füße 中文 👋🏽 ٣".encode("utf-8"),
+        b"",
+        b"\x80",  # bare continuation
+        b"\xc0\xaf",  # overlong '/'
+        b"\xc2",  # truncated 2-byte
+        b"\xe0\x80\x80",  # overlong
+        b"\xe0\xa0",  # truncated 3-byte
+        b"\xed\xa0\x80",  # surrogate D800
+        b"\xed\x9f\xbf",  # U+D7FF (valid)
+        b"\xf0\x90\x80\x80",  # U+10000 (valid)
+        b"\xf0\x80\x80\x80",  # overlong
+        b"\xf4\x8f\xbf\xbf",  # U+10FFFF (valid)
+        b"\xf4\x90\x80\x80",  # > U+10FFFF
+        b"\xf5\x80\x80\x80",  # invalid lead
+        b"ok\xffbad",
+        b"abc\xe2\x80",  # truncated at end
+    ]
+    import random as _random
+
+    rng = _random.Random(3)
+    for _ in range(500):
+        cases.append(bytes(rng.randrange(256) for _ in range(rng.randint(0, 24))))
+    for data in cases:
+        try:
+            data.decode("utf-8")
+            py_ok = True
+        except UnicodeDecodeError as e:
+            py_ok = False
+            py_pos = e.start
+        pos = native.utf8_invalid_at(data)
+        if py_ok:
+            assert pos == -1, (data, pos)
+        else:
+            assert pos == py_pos, (data, pos, py_pos)
+
+
+def test_ingest_invalid_utf8_raises_positioned_error(tmp_path):
+    p = tmp_path / "bad.txt"
+    p.write_bytes(b"good text " * 10 + b"\xff\xfe" + b" tail")
+    from yabpe_tpu.pretok.ingest import count_pretokens
+
+    with pytest.raises(ValueError, match="invalid UTF-8"):
+        count_pretokens([p], ())
+
+
 def test_ingest_native_equals_regex_path(tmp_path):
     from yabpe_tpu.pretok.ingest import _count_span, count_pretokens
 
