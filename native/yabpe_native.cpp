@@ -31,6 +31,11 @@
 #include <string.h>
 #include <stdlib.h>
 
+#include <array>
+#include <string>
+#include <unordered_map>
+#include <vector>
+
 #include "unicode_tables.h"
 
 namespace {
@@ -429,5 +434,205 @@ void yabpe_counter_export(const void* h, uint8_t* words, int32_t* lens,
     counts[e] = c->entries[e].count;
   }
 }
+
+}  // extern "C"
+
+// ---------------------------------------------------------------------------
+// Host BPE merge loop for small workloads.
+//
+// Behavioral parity target: the reference's training merge loop
+// (/root/reference/src/yet_another_bpe/trainer.py:216-302): per iteration,
+// argmax over pair counts with ties broken by the lexicographically
+// GREATEST (left_bytes, right_bytes) tuple; stop when the best count drops
+// below min_frequency; apply the merge leftmost-to-right within each
+// affected word; merged bytes already present in the vocabulary reuse that
+// token (dedup branch, trainer.py:298-300). The device (XLA) path owns
+// large workloads; this native loop exists because a few hundred merges on
+// a ~100 KB corpus are latency-bound, not throughput-bound. Results are
+// bit-identical across both paths (tested).
+// ---------------------------------------------------------------------------
+
+namespace {
+
+struct PairRec {
+  int64_t count = 0;
+  std::vector<int32_t> words;  // candidate word indices (may be stale)
+};
+
+struct Trainer {
+  std::vector<std::string> sym_bytes;   // symbol id -> bytes
+  std::unordered_map<std::string, int32_t> sym_of;
+  std::vector<std::vector<int32_t>> words;
+  std::vector<int64_t> counts;
+  std::unordered_map<uint64_t, PairRec> pairs;
+  std::vector<std::array<int32_t, 2>> merges;  // (left_sym, right_sym)
+};
+
+inline uint64_t pkey(int32_t l, int32_t r) {
+  return ((uint64_t)(uint32_t)l << 32) | (uint32_t)r;
+}
+
+// Python-tuple ordering of ((count, lbytes, rbytes)): returns true when
+// (ca, a) < (cb, b).
+bool pair_less(const Trainer& t, int64_t ca, uint64_t a, int64_t cb,
+               uint64_t b) {
+  if (ca != cb) return ca < cb;
+  const std::string& la = t.sym_bytes[(int32_t)(a >> 32)];
+  const std::string& lb = t.sym_bytes[(int32_t)(b >> 32)];
+  int c = la.compare(lb);
+  if (c != 0) return c < 0;
+  const std::string& ra = t.sym_bytes[(int32_t)(a & 0xFFFFFFFF)];
+  const std::string& rb = t.sym_bytes[(int32_t)(b & 0xFFFFFFFF)];
+  return ra.compare(rb) < 0;
+}
+
+void add_word_pairs(Trainer& t, int32_t wi, int64_t f) {
+  const std::vector<int32_t>& w = t.words[wi];
+  for (size_t j = 0; j + 1 < w.size(); ++j) {
+    PairRec& rec = t.pairs[pkey(w[j], w[j + 1])];
+    rec.count += f;
+    if (rec.words.empty() || rec.words.back() != wi) rec.words.push_back(wi);
+  }
+}
+
+}  // namespace
+
+extern "C" {
+
+// Train up to num_merges merges over (words, lens, counts). Words are raw
+// byte strings; initial symbols are the 256 single bytes.
+void* yabpe_train(const uint8_t* words_blob, const int32_t* word_lens,
+                  const int64_t* word_counts, int64_t n_words,
+                  int32_t num_merges, int64_t min_frequency) {
+  Trainer* t = new Trainer();
+  t->sym_bytes.reserve(256 + (size_t)num_merges);
+  for (int b = 0; b < 256; ++b) {
+    t->sym_bytes.emplace_back(1, (char)(uint8_t)b);
+    t->sym_of.emplace(t->sym_bytes.back(), b);
+  }
+  t->words.resize((size_t)n_words);
+  t->counts.assign(word_counts, word_counts + n_words);
+  int64_t off = 0;
+  for (int64_t i = 0; i < n_words; ++i) {
+    std::vector<int32_t>& w = t->words[(size_t)i];
+    w.resize((size_t)word_lens[i]);
+    for (int32_t j = 0; j < word_lens[i]; ++j) {
+      w[(size_t)j] = (int32_t)words_blob[off + j];
+    }
+    off += word_lens[i];
+    add_word_pairs(*t, (int32_t)i, t->counts[(size_t)i]);
+  }
+
+  for (int32_t m = 0; m < num_merges; ++m) {
+    // argmax (count, lex-greatest pair) — total order, so the winner is
+    // independent of hash-map iteration order.
+    bool have = false;
+    uint64_t best = 0;
+    int64_t best_count = 0;
+    for (const auto& kv : t->pairs) {
+      if (kv.second.count <= 0) continue;
+      if (!have ||
+          pair_less(*t, best_count, best, kv.second.count, kv.first)) {
+        have = true;
+        best = kv.first;
+        best_count = kv.second.count;
+      }
+    }
+    if (!have || best_count < min_frequency) break;
+
+    int32_t a = (int32_t)(best >> 32), b = (int32_t)(best & 0xFFFFFFFF);
+    std::string merged = t->sym_bytes[(size_t)a] + t->sym_bytes[(size_t)b];
+    int32_t c;
+    auto it = t->sym_of.find(merged);
+    if (it != t->sym_of.end()) {
+      c = it->second;  // dedup branch: token already exists
+    } else {
+      c = (int32_t)t->sym_bytes.size();
+      t->sym_bytes.push_back(merged);
+      t->sym_of.emplace(t->sym_bytes.back(), c);
+    }
+    t->merges.push_back({a, b});
+
+    // Apply to affected words; update pair counts incrementally.
+    std::vector<int32_t> affected;
+    affected.swap(t->pairs[best].words);
+    t->pairs.erase(best);
+    for (int32_t wi : affected) {
+      std::vector<int32_t>& w = t->words[(size_t)wi];
+      // staleness check: the index may list words that no longer contain
+      // the pair (their content changed under an earlier merge).
+      bool has = false;
+      for (size_t j = 0; j + 1 < w.size(); ++j) {
+        if (w[j] == a && w[j + 1] == b) {
+          has = true;
+          break;
+        }
+      }
+      if (!has) continue;
+      int64_t f = t->counts[(size_t)wi];
+      // decrement all old pairs
+      for (size_t j = 0; j + 1 < w.size(); ++j) {
+        auto pit = t->pairs.find(pkey(w[j], w[j + 1]));
+        if (pit != t->pairs.end()) {
+          pit->second.count -= f;
+          if (pit->second.count <= 0) t->pairs.erase(pit);
+        }
+      }
+      // leftmost-to-right merge scan (reference trainer.py:276-285)
+      std::vector<int32_t> nw;
+      nw.reserve(w.size());
+      size_t j = 0;
+      while (j < w.size()) {
+        if (j + 1 < w.size() && w[j] == a && w[j + 1] == b) {
+          nw.push_back(c);
+          j += 2;
+        } else {
+          nw.push_back(w[j]);
+          ++j;
+        }
+      }
+      w.swap(nw);
+      // increment all new pairs (and index this word under them)
+      add_word_pairs(*t, wi, f);
+    }
+  }
+  return t;
+}
+
+int32_t yabpe_train_num_merges(const void* h) {
+  return (int32_t)((const Trainer*)h)->merges.size();
+}
+
+void yabpe_train_merges(const void* h, int32_t* out) {
+  const Trainer* t = (const Trainer*)h;
+  for (size_t i = 0; i < t->merges.size(); ++i) {
+    out[2 * i] = t->merges[i][0];
+    out[2 * i + 1] = t->merges[i][1];
+  }
+}
+
+int32_t yabpe_train_num_syms(const void* h) {
+  return (int32_t)((const Trainer*)h)->sym_bytes.size();
+}
+
+int64_t yabpe_train_syms_total_bytes(const void* h) {
+  const Trainer* t = (const Trainer*)h;
+  int64_t total = 0;
+  for (const std::string& s : t->sym_bytes) total += (int64_t)s.size();
+  return total;
+}
+
+void yabpe_train_export_syms(const void* h, uint8_t* blob, int32_t* lens) {
+  const Trainer* t = (const Trainer*)h;
+  int64_t off = 0;
+  for (size_t i = 0; i < t->sym_bytes.size(); ++i) {
+    const std::string& s = t->sym_bytes[i];
+    memcpy(blob + off, s.data(), s.size());
+    lens[i] = (int32_t)s.size();
+    off += (int64_t)s.size();
+  }
+}
+
+void yabpe_train_free(void* h) { delete (Trainer*)h; }
 
 }  // extern "C"

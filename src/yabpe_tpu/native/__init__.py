@@ -143,6 +143,34 @@ def _load() -> ctypes.CDLL | None:
             ctypes.POINTER(ctypes.c_int32),
             ctypes.POINTER(ctypes.c_int64),
         ]
+        lib.yabpe_train.restype = ctypes.c_void_p
+        lib.yabpe_train.argtypes = [
+            ctypes.c_char_p,
+            ctypes.POINTER(ctypes.c_int32),
+            ctypes.POINTER(ctypes.c_int64),
+            ctypes.c_int64,
+            ctypes.c_int32,
+            ctypes.c_int64,
+        ]
+        lib.yabpe_train_num_merges.restype = ctypes.c_int32
+        lib.yabpe_train_num_merges.argtypes = [ctypes.c_void_p]
+        lib.yabpe_train_merges.restype = None
+        lib.yabpe_train_merges.argtypes = [
+            ctypes.c_void_p,
+            ctypes.POINTER(ctypes.c_int32),
+        ]
+        lib.yabpe_train_num_syms.restype = ctypes.c_int32
+        lib.yabpe_train_num_syms.argtypes = [ctypes.c_void_p]
+        lib.yabpe_train_syms_total_bytes.restype = ctypes.c_int64
+        lib.yabpe_train_syms_total_bytes.argtypes = [ctypes.c_void_p]
+        lib.yabpe_train_export_syms.restype = None
+        lib.yabpe_train_export_syms.argtypes = [
+            ctypes.c_void_p,
+            ctypes.c_char_p,
+            ctypes.POINTER(ctypes.c_int32),
+        ]
+        lib.yabpe_train_free.restype = None
+        lib.yabpe_train_free.argtypes = [ctypes.c_void_p]
         _lib = lib
         return _lib
 
@@ -177,6 +205,60 @@ def pretok_offsets(data: bytes) -> np.ndarray:
         data, n, ends.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)), n
     )
     return ends[:count]
+
+
+def train_host(
+    word_counts: dict[bytes, int],
+    num_merges: int,
+    min_frequency: int,
+) -> list[tuple[bytes, bytes]]:
+    """Run the native host BPE merge loop (small-workload path).
+
+    Exact reference-semantics merge loop (argmax with lexicographically
+    greatest tie-break, leftmost merge scan, dedup branch); bit-identical
+    to the device loop. Returns the learned merges as byte-string pairs.
+    """
+    lib = _load()
+    assert lib is not None, "native library unavailable"
+    items = [(w, c) for w, c in word_counts.items() if c > 0 and len(w) > 0]
+    blob = b"".join(w for w, _ in items)
+    lens = np.array([len(w) for w, _ in items], dtype=np.int32)
+    counts = np.array([c for _, c in items], dtype=np.int64)
+    n = len(items)
+    handle = lib.yabpe_train(
+        blob,
+        lens.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        counts.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        n,
+        num_merges,
+        min_frequency,
+    )
+    try:
+        n_merges = lib.yabpe_train_num_merges(handle)
+        merges = np.empty((max(n_merges, 1), 2), dtype=np.int32)
+        lib.yabpe_train_merges(
+            handle, merges.ctypes.data_as(ctypes.POINTER(ctypes.c_int32))
+        )
+        n_syms = lib.yabpe_train_num_syms(handle)
+        total = lib.yabpe_train_syms_total_bytes(handle)
+        sym_blob = ctypes.create_string_buffer(max(int(total), 1))
+        sym_lens = np.empty(max(n_syms, 1), dtype=np.int32)
+        lib.yabpe_train_export_syms(
+            handle,
+            sym_blob,
+            sym_lens.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        )
+    finally:
+        lib.yabpe_train_free(handle)
+    syms: list[bytes] = []
+    off = 0
+    raw = sym_blob.raw
+    for length in sym_lens[:n_syms].tolist():
+        syms.append(raw[off : off + length])
+        off += length
+    return [
+        (syms[left], syms[right]) for left, right in merges[:n_merges].tolist()
+    ]
 
 
 class NativeCounter:

@@ -53,6 +53,12 @@ class BBPETrainerConfig:
             automatically by VMEM budget and backend (None). The fused
             kernel requires a TPU backend and is unavailable with
             checkpointing or data sharding.
+        use_native_loop: run small workloads through the native C++ host
+            merge loop (True), never (False), or pick automatically by
+            estimated cost (None). Tiny corpora are latency-bound, not
+            throughput-bound, so a device round-trip per merge chunk loses
+            to a host loop; results are bit-identical either way. Ignored
+            (device path) when sharding or checkpointing is configured.
     """
 
     vocab_size: int = 32000
@@ -75,6 +81,7 @@ class BBPETrainerConfig:
     checkpoint_dir: str | None = None
     checkpoint_every_chunks: int = 4
     use_fused_kernel: bool | None = None
+    use_native_loop: bool | None = None
 
 
 __all__ = ["BBPETrainerConfig"]

@@ -107,6 +107,19 @@ class BBPETrainer:
         if num_merges == 0:
             return base, []
 
+        if self._should_use_native_loop(counter, num_merges):
+            from yabpe_tpu import native
+
+            merges = native.train_host(
+                dict(counter), num_merges, cfg.min_frequency
+            )
+            vocab = Vocab()
+            for tok in base.tokens():
+                vocab.add(tok)
+            for left, right in merges:
+                vocab.add(left + right)
+            return vocab, merges
+
         vocab_cap = max(cfg.vocab_size, len(base))
         table_bytes = 4 * vocab_cap * vocab_cap // max(1, cfg.vocab_shards)
         if table_bytes > cfg.max_pair_table_bytes:
@@ -137,6 +150,33 @@ class BBPETrainer:
             )
 
         return train_state.merges_to_bytes(merges_ids, base)
+
+    def _should_use_native_loop(self, counter, num_merges: int) -> bool:
+        """Route tiny workloads to the C++ host merge loop.
+
+        The device loop pays a host<->device round trip per merge chunk;
+        for latency-bound small problems the native loop wins outright.
+        The cost of the native loop is ~ num_merges * |pair table|
+        (full-scan argmax per merge), so gate on that estimate.
+        """
+        cfg = self.config
+        if cfg.use_native_loop is False:
+            return False
+        if cfg.backend != "jax" and cfg.use_native_loop is not True:
+            return False
+        if (cfg.data_shards and cfg.data_shards > 1) or cfg.checkpoint_dir:
+            return False  # distributed / checkpointed runs stay on device
+
+        from yabpe_tpu import native
+
+        if not native.available():
+            return False
+        if cfg.use_native_loop is True:
+            return True
+        # Auto mode: pairs scale with unique words; full-scan argmax cost
+        # num_merges * pairs must stay well under ~1e9 element visits.
+        est = num_merges * max(1000, 8 * len(counter))
+        return est < 1_000_000_000
 
     def _run_single_device(
         self, table: WordTable, base: Vocab, vocab_cap: int, num_merges: int

@@ -46,6 +46,8 @@ def run_train_bpe(
     input_path: str | Path,
     vocab_size: int,
     special_tokens: list[str],
+    *,
+    use_native_loop: bool | None = None,
 ) -> tuple[dict[int, bytes], list[tuple[bytes, bytes]]]:
     """Train with the exact-parity configuration; return ({id: bytes}, merges)."""
     config = BBPETrainerConfig(
@@ -54,6 +56,7 @@ def run_train_bpe(
         max_workers=1,
         chunk_size_bytes=1024 * 1024 * 1024,
         special_tokens=special_tokens,
+        use_native_loop=use_native_loop,
     )
     model = BBPETrainer(config).train([Path(input_path)])
     return {v: k for k, v in model.vocab.items()}, model.merges

@@ -165,6 +165,31 @@ def test_ingest_invalid_utf8_raises_positioned_error(tmp_path):
         count_pretokens([p], ())
 
 
+def test_train_host_matches_oracle_randomized():
+    """Native C++ merge loop ≡ numpy oracle on randomized word tables
+    (exact tie-breaking, dedup branch, min_frequency stop)."""
+    from yabpe_tpu.train.reference_loop import train_merges_oracle
+    from yabpe_tpu import native as native_mod
+
+    rng = random.Random(99)
+    for trial in range(25):
+        n_words = rng.randint(1, 60)
+        counter: Counter[bytes] = Counter()
+        for _ in range(n_words):
+            length = rng.randint(1, 6)
+            word = bytes(rng.choice(b"abcAB\xc3\x9f ") for _ in range(length))
+            counter[word] += rng.randint(1, 9)
+        vocab_size = rng.randint(257, 300)
+        min_freq = rng.choice([1, 1, 2, 3])
+        _, oracle_merges = train_merges_oracle(
+            counter, [], vocab_size, min_freq
+        )
+        got = native_mod.train_host(
+            dict(counter), vocab_size - 256, min_freq
+        )
+        assert got == oracle_merges, (trial, counter)
+
+
 def test_ingest_native_equals_regex_path(tmp_path):
     from yabpe_tpu.pretok.ingest import _count_span, count_pretokens
 

@@ -5,17 +5,21 @@ from __future__ import annotations
 import json
 import time
 
+import pytest
+
 from yabpe_tpu.io import gpt2 as gpt2io
 
 from .adapters import run_train_bpe
 from .common import LOCAL_FIXTURES, REF_FIXTURES
 
 
-def test_train_bpe_exact_merges_and_vocab():
+@pytest.mark.parametrize("native_loop", [True, False], ids=["native", "device"])
+def test_train_bpe_exact_merges_and_vocab(native_loop):
     vocab, merges = run_train_bpe(
         input_path=REF_FIXTURES / "corpus.en",
         vocab_size=500,
         special_tokens=["<|endoftext|>"],
+        use_native_loop=native_loop,
     )
 
     reference_merges = gpt2io.load_gpt2_merges(
