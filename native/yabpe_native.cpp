@@ -31,7 +31,9 @@
 #include <string.h>
 #include <stdlib.h>
 
+#include <algorithm>
 #include <array>
+#include <queue>
 #include <string>
 #include <unordered_map>
 #include <vector>
@@ -459,17 +461,46 @@ struct PairRec {
   std::vector<int32_t> words;  // candidate word indices (may be stale)
 };
 
+struct HeapEntry {
+  int64_t count;
+  uint64_t key;
+};
+
 struct Trainer {
   std::vector<std::string> sym_bytes;   // symbol id -> bytes
+  // Big-endian zero-padded first-8-bytes key per symbol: prefix compare
+  // decides most lexicographic comparisons in one integer op; equal
+  // prefixes fall back to the full byte compare.
+  std::vector<uint64_t> sym_prefix;
   std::unordered_map<std::string, int32_t> sym_of;
   std::vector<std::vector<int32_t>> words;
   std::vector<int64_t> counts;
   std::unordered_map<uint64_t, PairRec> pairs;
   std::vector<std::array<int32_t, 2>> merges;  // (left_sym, right_sym)
+  // Lazy max-heap over (count, lex-greatest pair); entries go stale when a
+  // pair's count changes and are dropped on pop (validity = count match).
+  std::vector<HeapEntry> heap;
 };
 
 inline uint64_t pkey(int32_t l, int32_t r) {
   return ((uint64_t)(uint32_t)l << 32) | (uint32_t)r;
+}
+
+uint64_t prefix_key(const std::string& s) {
+  uint64_t p = 0;
+  size_t n = s.size() < 8 ? s.size() : 8;
+  for (size_t i = 0; i < n; ++i) {
+    p |= (uint64_t)(uint8_t)s[i] << (8 * (7 - i));
+  }
+  return p;
+}
+
+// bytewise lexicographic comparison of two symbols (-1/0/1)
+inline int cmp_sym(const Trainer& t, int32_t x, int32_t y) {
+  if (x == y) return 0;
+  uint64_t px = t.sym_prefix[(size_t)x], py = t.sym_prefix[(size_t)y];
+  if (px != py) return px < py ? -1 : 1;
+  return t.sym_bytes[(size_t)x].compare(t.sym_bytes[(size_t)y]);
 }
 
 // Python-tuple ordering of ((count, lbytes, rbytes)): returns true when
@@ -477,21 +508,31 @@ inline uint64_t pkey(int32_t l, int32_t r) {
 bool pair_less(const Trainer& t, int64_t ca, uint64_t a, int64_t cb,
                uint64_t b) {
   if (ca != cb) return ca < cb;
-  const std::string& la = t.sym_bytes[(int32_t)(a >> 32)];
-  const std::string& lb = t.sym_bytes[(int32_t)(b >> 32)];
-  int c = la.compare(lb);
+  int c = cmp_sym(t, (int32_t)(a >> 32), (int32_t)(b >> 32));
   if (c != 0) return c < 0;
-  const std::string& ra = t.sym_bytes[(int32_t)(a & 0xFFFFFFFF)];
-  const std::string& rb = t.sym_bytes[(int32_t)(b & 0xFFFFFFFF)];
-  return ra.compare(rb) < 0;
+  return cmp_sym(t, (int32_t)(a & 0xFFFFFFFF), (int32_t)(b & 0xFFFFFFFF)) < 0;
 }
 
-void add_word_pairs(Trainer& t, int32_t wi, int64_t f) {
+struct HeapLess {
+  const Trainer* t;
+  bool operator()(const HeapEntry& x, const HeapEntry& y) const {
+    return pair_less(*t, x.count, x.key, y.count, y.key);
+  }
+};
+
+void heap_push(Trainer& t, uint64_t key, int64_t count) {
+  t.heap.push_back({count, key});
+  std::push_heap(t.heap.begin(), t.heap.end(), HeapLess{&t});
+}
+
+void add_word_pairs(Trainer& t, int32_t wi, int64_t f, bool heap_live) {
   const std::vector<int32_t>& w = t.words[wi];
   for (size_t j = 0; j + 1 < w.size(); ++j) {
-    PairRec& rec = t.pairs[pkey(w[j], w[j + 1])];
+    uint64_t key = pkey(w[j], w[j + 1]);
+    PairRec& rec = t.pairs[key];
     rec.count += f;
     if (rec.words.empty() || rec.words.back() != wi) rec.words.push_back(wi);
+    if (heap_live) heap_push(t, key, rec.count);
   }
 }
 
@@ -508,6 +549,7 @@ void* yabpe_train(const uint8_t* words_blob, const int32_t* word_lens,
   t->sym_bytes.reserve(256 + (size_t)num_merges);
   for (int b = 0; b < 256; ++b) {
     t->sym_bytes.emplace_back(1, (char)(uint8_t)b);
+    t->sym_prefix.push_back(prefix_key(t->sym_bytes.back()));
     t->sym_of.emplace(t->sym_bytes.back(), b);
   }
   t->words.resize((size_t)n_words);
@@ -520,23 +562,34 @@ void* yabpe_train(const uint8_t* words_blob, const int32_t* word_lens,
       w[(size_t)j] = (int32_t)words_blob[off + j];
     }
     off += word_lens[i];
-    add_word_pairs(*t, (int32_t)i, t->counts[(size_t)i]);
+    add_word_pairs(*t, (int32_t)i, t->counts[(size_t)i], false);
   }
+  // Bulk-build the selection heap: one fresh entry per pair, O(P).
+  t->heap.reserve(t->pairs.size() * 2);
+  for (const auto& kv : t->pairs) {
+    t->heap.push_back({kv.second.count, kv.first});
+  }
+  std::make_heap(t->heap.begin(), t->heap.end(), HeapLess{t});
 
   for (int32_t m = 0; m < num_merges; ++m) {
-    // argmax (count, lex-greatest pair) — total order, so the winner is
-    // independent of hash-map iteration order.
+    // argmax (count, lex-greatest pair) via the lazy heap: pop until the
+    // top entry's count matches the pair's live count. The ordering is
+    // total, so the winner is deterministic.
     bool have = false;
     uint64_t best = 0;
     int64_t best_count = 0;
-    for (const auto& kv : t->pairs) {
-      if (kv.second.count <= 0) continue;
-      if (!have ||
-          pair_less(*t, best_count, best, kv.second.count, kv.first)) {
+    while (!t->heap.empty()) {
+      const HeapEntry top = t->heap.front();
+      auto pit = t->pairs.find(top.key);
+      if (pit != t->pairs.end() && pit->second.count == top.count &&
+          top.count > 0) {
         have = true;
-        best = kv.first;
-        best_count = kv.second.count;
+        best = top.key;
+        best_count = top.count;
+        break;
       }
+      std::pop_heap(t->heap.begin(), t->heap.end(), HeapLess{t});
+      t->heap.pop_back();  // stale entry
     }
     if (!have || best_count < min_frequency) break;
 
@@ -549,6 +602,7 @@ void* yabpe_train(const uint8_t* words_blob, const int32_t* word_lens,
     } else {
       c = (int32_t)t->sym_bytes.size();
       t->sym_bytes.push_back(merged);
+      t->sym_prefix.push_back(prefix_key(merged));
       t->sym_of.emplace(t->sym_bytes.back(), c);
     }
     t->merges.push_back({a, b});
@@ -559,41 +613,53 @@ void* yabpe_train(const uint8_t* words_blob, const int32_t* word_lens,
     t->pairs.erase(best);
     for (int32_t wi : affected) {
       std::vector<int32_t>& w = t->words[(size_t)wi];
-      // staleness check: the index may list words that no longer contain
-      // the pair (their content changed under an earlier merge).
-      bool has = false;
+      // Find the leftmost occurrence; the index may list words that no
+      // longer contain the pair (staleness), and the prefix before it is
+      // untouched so its pair counts need no update.
+      size_t first = SIZE_MAX;
       for (size_t j = 0; j + 1 < w.size(); ++j) {
         if (w[j] == a && w[j + 1] == b) {
-          has = true;
+          first = j;
           break;
         }
       }
-      if (!has) continue;
+      if (first == SIZE_MAX) continue;
       int64_t f = t->counts[(size_t)wi];
-      // decrement all old pairs
-      for (size_t j = 0; j + 1 < w.size(); ++j) {
-        auto pit = t->pairs.find(pkey(w[j], w[j + 1]));
+      size_t lo = first > 0 ? first - 1 : 0;
+      // decrement old pairs in the affected window (refresh heap entries)
+      for (size_t j = lo; j + 1 < w.size(); ++j) {
+        uint64_t key = pkey(w[j], w[j + 1]);
+        auto pit = t->pairs.find(key);
         if (pit != t->pairs.end()) {
           pit->second.count -= f;
-          if (pit->second.count <= 0) t->pairs.erase(pit);
+          if (pit->second.count <= 0) {
+            t->pairs.erase(pit);
+          } else {
+            heap_push(*t, key, pit->second.count);
+          }
         }
       }
-      // leftmost-to-right merge scan (reference trainer.py:276-285)
-      std::vector<int32_t> nw;
-      nw.reserve(w.size());
-      size_t j = 0;
+      // in-place leftmost-to-right merge scan (reference trainer.py:276-285)
+      size_t k = first, j = first;
       while (j < w.size()) {
         if (j + 1 < w.size() && w[j] == a && w[j + 1] == b) {
-          nw.push_back(c);
+          w[k++] = c;
           j += 2;
         } else {
-          nw.push_back(w[j]);
-          ++j;
+          w[k++] = w[j++];
         }
       }
-      w.swap(nw);
-      // increment all new pairs (and index this word under them)
-      add_word_pairs(*t, wi, f);
+      w.resize(k);
+      // increment new pairs in the affected window (and index the word)
+      for (size_t j2 = lo; j2 + 1 < w.size(); ++j2) {
+        uint64_t key = pkey(w[j2], w[j2 + 1]);
+        PairRec& rec = t->pairs[key];
+        rec.count += f;
+        if (rec.words.empty() || rec.words.back() != wi) {
+          rec.words.push_back(wi);
+        }
+        heap_push(*t, key, rec.count);
+      }
     }
   }
   return t;
