@@ -379,6 +379,49 @@ int64_t yabpe_pretok_word_ids(void* h, const uint8_t* text, int64_t n,
   return count;
 }
 
+// Tokenizer-dialect special-token scan: find non-overlapping special
+// occurrences left-to-right; the caller passes specials SORTED
+// LONGEST-FIRST so the longest alternative wins at each position (mirrors
+// the reference's split pattern, tokenizer.py:100-102). Returns the number
+// of occurrences; writes (start offset, special index) pairs.
+int64_t yabpe_find_specials(const uint8_t* text, int64_t n,
+                            const uint8_t* special_bytes,
+                            const int32_t* special_lens, int32_t n_specials,
+                            int64_t* starts, int32_t* ids, int64_t cap) {
+  Special specials[64];
+  if (n_specials > 64) n_specials = 64;
+  int64_t off = 0;
+  uint8_t first_bytes[64];
+  for (int32_t s = 0; s < n_specials; ++s) {
+    specials[s].ptr = special_bytes + off;
+    specials[s].len = special_lens[s];
+    first_bytes[s] = special_lens[s] > 0 ? specials[s].ptr[0] : 0;
+    off += special_lens[s];
+  }
+  int64_t count = 0;
+  int64_t i = 0;
+  while (i < n) {
+    bool matched = false;
+    uint8_t c = text[i];
+    for (int32_t s = 0; s < n_specials; ++s) {
+      int32_t sl = specials[s].len;
+      if (sl > 0 && c == first_bytes[s] && i + sl <= n &&
+          memcmp(text + i, specials[s].ptr, sl) == 0) {
+        if (count < cap) {
+          starts[count] = i;
+          ids[count] = s;
+        }
+        ++count;
+        i += sl;
+        matched = true;
+        break;
+      }
+    }
+    if (!matched) ++i;
+  }
+  return count;
+}
+
 void* yabpe_counter_new(void) { return new Counter(); }
 
 void yabpe_counter_free(void* h) { delete (Counter*)h; }

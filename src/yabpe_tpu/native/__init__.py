@@ -117,6 +117,17 @@ def _load() -> ctypes.CDLL | None:
             ctypes.POINTER(ctypes.c_int32),
             ctypes.c_int64,
         ]
+        lib.yabpe_find_specials.restype = ctypes.c_int64
+        lib.yabpe_find_specials.argtypes = [
+            ctypes.c_char_p,
+            ctypes.c_int64,
+            ctypes.c_char_p,
+            ctypes.POINTER(ctypes.c_int32),
+            ctypes.c_int32,
+            ctypes.POINTER(ctypes.c_int64),
+            ctypes.POINTER(ctypes.c_int32),
+            ctypes.c_int64,
+        ]
         lib.yabpe_counter_new.restype = ctypes.c_void_p
         lib.yabpe_counter_new.argtypes = []
         lib.yabpe_counter_free.restype = None
@@ -205,6 +216,36 @@ def pretok_offsets(data: bytes) -> np.ndarray:
         data, n, ends.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)), n
     )
     return ends[:count]
+
+
+def find_specials(
+    data: bytes, specials_longest_first: list[bytes]
+) -> tuple[np.ndarray, np.ndarray]:
+    """Non-overlapping special-token occurrences (tokenizer dialect).
+
+    ``specials_longest_first`` must be sorted longest-first. Returns
+    (start offsets int64, special indices int32) in document order.
+    """
+    lib = _load()
+    assert lib is not None, "native library unavailable"
+    sp = specials_longest_first
+    blob = b"".join(sp)
+    lens = (ctypes.c_int32 * max(len(sp), 1))(*[len(b) for b in sp])
+    min_len = min((len(b) for b in sp if b), default=1)
+    cap = len(data) // max(min_len, 1) + 1
+    starts = np.empty(cap, dtype=np.int64)
+    ids = np.empty(cap, dtype=np.int32)
+    count = lib.yabpe_find_specials(
+        data,
+        len(data),
+        blob,
+        lens,
+        len(sp),
+        starts.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        ids.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        cap,
+    )
+    return starts[:count], ids[:count]
 
 
 def train_host(

@@ -202,26 +202,30 @@ class DeviceEncoder:
 
     def _encode_batch_native(self, texts: Sequence[str]) -> list[list[int]]:
         counter = native.NativeCounter()
+        sp_bytes = [
+            s.encode("utf-8")
+            for s in sorted(self._special_tokens, key=len, reverse=True)
+        ]
+        sp_ids = [self._vocab.get(b) for b in sp_bytes]
         # Per text: list of ("s", special_id) | ("w", occurrence-id array).
         structures: list[list[tuple[str, object]]] = []
         for text in texts:
             segs: list[tuple[str, object]] = []
             if text:
-                if self._special_pattern is not None:
-                    parts = self._special_pattern.split(text)
-                else:
-                    parts = [text]
-                for part in parts:
-                    if not part:
-                        continue
-                    if part in self._special_set:
-                        sid = self._vocab.get(part.encode("utf-8"))
-                        if sid is not None:
-                            segs.append(("s", sid))
-                    else:
-                        segs.append(
-                            ("w", counter.add_word_ids(part.encode("utf-8")))
-                        )
+                data = text.encode("utf-8")
+                prev = 0
+                if sp_bytes:
+                    starts, ids = native.find_specials(data, sp_bytes)
+                    for start, sid in zip(starts.tolist(), ids.tolist()):
+                        if start > prev:
+                            segs.append(
+                                ("w", counter.add_word_ids(data[prev:start]))
+                            )
+                        if sp_ids[sid] is not None:
+                            segs.append(("s", sp_ids[sid]))
+                        prev = start + len(sp_bytes[sid])
+                if prev < len(data):
+                    segs.append(("w", counter.add_word_ids(data[prev:])))
             structures.append(segs)
 
         uniq = counter.export_words()
@@ -252,10 +256,9 @@ class DeviceEncoder:
                     length = lens[occ]
                     csum = np.cumsum(length)
                     total = int(csum[-1]) if len(csum) else 0
-                    idx = (
-                        np.arange(total, dtype=np.int64)
-                        - np.repeat(csum - length, length)
-                        + np.repeat(starts[occ], length)
+                    # segment-gather: one repeat of the combined offset
+                    idx = np.arange(total, dtype=np.int64) + np.repeat(
+                        starts[occ] - (csum - length), length
                     )
                     chunks.append(flat[idx])
             if chunks:
@@ -312,12 +315,18 @@ class DeviceEncoder:
                     self._sorted_new_syms,
                     self._n_syms_dev,
                 )
-            )
-            out_ids = self._out_ids
-            for i in range(len(batch)):
-                syms = result[i]
-                syms = syms[syms >= 0]
-                out.append(tuple(int(out_ids[s]) for s in syms))
+            )[: len(batch)]
+            # Vectorized row extraction: boolean-mask flatten preserves
+            # row-major order, so one gather + cumsum slicing replaces a
+            # per-row numpy loop.
+            valid = result >= 0
+            flat = self._out_ids[np.where(valid, result, 0)][valid].tolist()
+            lens = valid.sum(axis=1)
+            offsets = np.cumsum(lens).tolist()
+            prev = 0
+            for offset in offsets:
+                out.append(tuple(flat[prev:offset]))
+                prev = offset
         return out
 
 

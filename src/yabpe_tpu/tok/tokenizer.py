@@ -55,6 +55,10 @@ class BBPETokenizer:
         }
         self._pattern = compile_gpt2_pattern()
         self._special_pattern = compile_special_splitter(self._special_tokens)
+        self._specials_longest_first_bytes = [
+            s.encode("utf-8")
+            for s in sorted(self._special_tokens, key=len, reverse=True)
+        ]
         self._unk_id: int = self._vocab.get(b"[UNK]", 0)
 
         self._encode_word_cached = lru_cache(maxsize=_CACHE_SIZE)(
@@ -100,7 +104,22 @@ class BBPETokenizer:
         if not text:
             return []
         out: list[int] = []
-        if self._special_pattern is not None:
+        if self._special_tokens and native.available():
+            # Fully bytes-native path: special scan + pre-token scan in C.
+            sp_bytes = self._specials_longest_first_bytes
+            data = text.encode("utf-8")
+            starts, ids = native.find_specials(data, sp_bytes)
+            prev = 0
+            for start, sid in zip(starts.tolist(), ids.tolist()):
+                if start > prev:
+                    self._encode_plain_bytes(data[prev:start], out)
+                vid = self._vocab.get(sp_bytes[sid])
+                if vid is not None:
+                    out.append(vid)
+                prev = start + len(sp_bytes[sid])
+            if prev < len(data):
+                self._encode_plain_bytes(data[prev:], out)
+        elif self._special_pattern is not None:
             for part in self._special_pattern.split(text):
                 if not part:
                     continue
@@ -116,16 +135,18 @@ class BBPETokenizer:
 
     def _encode_plain(self, text: str, out: list[int]) -> None:
         if native.available():
-            data = text.encode("utf-8")
-            cached_b = self._encode_bytes_cached
-            prev = 0
-            for end in native.pretok_offsets(data).tolist():
-                out.extend(cached_b(data[prev:end]))
-                prev = end
+            self._encode_plain_bytes(text.encode("utf-8"), out)
             return
         cached = self._encode_word_cached
         for word in self._pattern.findall(text):
             out.extend(cached(word))
+
+    def _encode_plain_bytes(self, data: bytes, out: list[int]) -> None:
+        cached_b = self._encode_bytes_cached
+        prev = 0
+        for end in native.pretok_offsets(data).tolist():
+            out.extend(cached_b(data[prev:end]))
+            prev = end
 
     def _encode_word_impl(self, word: str) -> tuple[int, ...]:
         """BPE-encode one pre-token (batch-merge formulation, see module doc)."""
