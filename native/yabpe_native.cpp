@@ -33,6 +33,7 @@
 
 #include <algorithm>
 #include <array>
+#include <mutex>
 #include <queue>
 #include <string>
 #include <unordered_map>
@@ -483,6 +484,144 @@ void yabpe_counter_export(const void* h, uint8_t* words, int32_t* lens,
 }  // extern "C"
 
 // ---------------------------------------------------------------------------
+// Host word encoder: the tokenizer's per-word BPE loop in C.
+//
+// Batch-merge formulation (provably equivalent to the reference's
+// one-occurrence-at-a-time heap, tokenizer.py:195-308 — see
+// yabpe_tpu.tok.tokenizer module doc): repeatedly find the lowest-rank
+// adjacent pair present in the word, merge every leftmost-non-overlapping
+// occurrence, repeat. Works in the extended-symbol space built by the
+// Python layer (256 byte symbols + live merge products), with an internal
+// word cache so repeated pre-tokens cost one hash probe.
+// ---------------------------------------------------------------------------
+
+namespace {
+
+inline uint64_t pkey(int32_t l, int32_t r) {
+  return ((uint64_t)(uint32_t)l << 32) | (uint32_t)r;
+}
+
+struct EncEntry {
+  int32_t rank;
+  int32_t new_sym;
+};
+
+struct Encoder {
+  std::unordered_map<uint64_t, EncEntry> live;  // (l<<32|r) -> rank,new_sym
+  std::vector<int32_t> out_ids;                 // sym -> vocab id
+  // word cache: bytes -> encoded vocab ids
+  std::unordered_map<std::string, std::vector<int32_t>> cache;
+  int64_t hits = 0;
+  int64_t misses = 0;
+  std::vector<int32_t> syms;  // scratch
+  // ctypes releases the GIL, so concurrent encode() calls from Python
+  // threads reach this object in parallel.
+  std::mutex mu;
+};
+
+// Encode one pre-token (bytes) into vocab ids, using/filling the cache.
+const std::vector<int32_t>& encode_word(Encoder& e, const uint8_t* w,
+                                        int32_t len) {
+  std::string key((const char*)w, (size_t)len);
+  auto it = e.cache.find(key);
+  if (it != e.cache.end()) {
+    ++e.hits;
+    return it->second;
+  }
+  ++e.misses;
+  std::vector<int32_t>& syms = e.syms;
+  syms.clear();
+  for (int32_t i = 0; i < len; ++i) syms.push_back(w[i]);
+  while (syms.size() > 1) {
+    int32_t best_rank = INT32_MAX;
+    uint64_t best_key = 0;
+    int32_t best_new = -1;
+    for (size_t j = 0; j + 1 < syms.size(); ++j) {
+      auto pit = e.live.find(pkey(syms[j], syms[j + 1]));
+      if (pit != e.live.end() && pit->second.rank < best_rank) {
+        best_rank = pit->second.rank;
+        best_key = pkey(syms[j], syms[j + 1]);
+        best_new = pit->second.new_sym;
+      }
+    }
+    if (best_new < 0) break;
+    int32_t a = (int32_t)(best_key >> 32), b = (int32_t)(best_key & 0xFFFFFFFF);
+    size_t k = 0, j = 0;
+    while (j < syms.size()) {
+      if (j + 1 < syms.size() && syms[j] == a && syms[j + 1] == b) {
+        syms[k++] = best_new;
+        j += 2;
+      } else {
+        syms[k++] = syms[j++];
+      }
+    }
+    syms.resize(k);
+  }
+  std::vector<int32_t> ids;
+  ids.reserve(syms.size());
+  for (int32_t s : syms) ids.push_back(e.out_ids[(size_t)s]);
+  return e.cache.emplace(std::move(key), std::move(ids)).first->second;
+}
+
+}  // namespace
+
+extern "C" {
+
+// Build an encoder from the extended-symbol formulation: live merge table
+// (pair key, rank, product symbol) + per-symbol output vocab ids.
+void* yabpe_encoder_new(const uint64_t* pair_keys, const int32_t* pair_ranks,
+                        const int32_t* pair_new_syms, int64_t n_pairs,
+                        const int32_t* out_ids, int32_t n_syms) {
+  Encoder* e = new Encoder();
+  e->live.reserve((size_t)n_pairs * 2);
+  for (int64_t i = 0; i < n_pairs; ++i) {
+    e->live[pair_keys[i]] = {pair_ranks[i], pair_new_syms[i]};
+  }
+  e->out_ids.assign(out_ids, out_ids + n_syms);
+  return e;
+}
+
+void yabpe_encoder_free(void* h) { delete (Encoder*)h; }
+
+// Pre-tokenize a special-free UTF-8 segment and encode every pre-token.
+// Writes vocab ids to out (cap must be >= n: one id per byte suffices).
+int64_t yabpe_encode_segment(void* h, const uint8_t* text, int64_t n,
+                             int32_t* out, int64_t cap) {
+  Encoder* e = (Encoder*)h;
+  std::lock_guard<std::mutex> lock(e->mu);
+  int64_t i = 0, written = 0;
+  while (i < n) {
+    int64_t end = next_token_end(text, n, i, nullptr, 0);
+    const std::vector<int32_t>& ids =
+        encode_word(*e, text + i, (int32_t)(end - i));
+    for (int32_t id : ids) {
+      if (written < cap) out[written] = id;
+      ++written;
+    }
+    i = end;
+  }
+  return written;
+}
+
+void yabpe_encoder_cache_info(const void* h, int64_t* hits, int64_t* misses,
+                              int64_t* size) {
+  const Encoder* e = (const Encoder*)h;
+  *hits = e->hits;
+  *misses = e->misses;
+  *size = (int64_t)e->cache.size();
+}
+
+void yabpe_encoder_cache_clear(void* h) {
+  Encoder* e = (Encoder*)h;
+  std::lock_guard<std::mutex> lock(e->mu);
+  e->cache.clear();
+  e->hits = 0;
+  e->misses = 0;
+}
+
+}  // extern "C"
+
+// ---------------------------------------------------------------------------
 // Host BPE merge loop for small workloads.
 //
 // Behavioral parity target: the reference's training merge loop
@@ -524,10 +663,6 @@ struct Trainer {
   // pair's count changes and are dropped on pop (validity = count match).
   std::vector<HeapEntry> heap;
 };
-
-inline uint64_t pkey(int32_t l, int32_t r) {
-  return ((uint64_t)(uint32_t)l << 32) | (uint32_t)r;
-}
 
 uint64_t prefix_key(const std::string& s) {
   uint64_t p = 0;

@@ -154,6 +154,34 @@ def _load() -> ctypes.CDLL | None:
             ctypes.POINTER(ctypes.c_int32),
             ctypes.POINTER(ctypes.c_int64),
         ]
+        lib.yabpe_encoder_new.restype = ctypes.c_void_p
+        lib.yabpe_encoder_new.argtypes = [
+            ctypes.POINTER(ctypes.c_uint64),
+            ctypes.POINTER(ctypes.c_int32),
+            ctypes.POINTER(ctypes.c_int32),
+            ctypes.c_int64,
+            ctypes.POINTER(ctypes.c_int32),
+            ctypes.c_int32,
+        ]
+        lib.yabpe_encoder_free.restype = None
+        lib.yabpe_encoder_free.argtypes = [ctypes.c_void_p]
+        lib.yabpe_encode_segment.restype = ctypes.c_int64
+        lib.yabpe_encode_segment.argtypes = [
+            ctypes.c_void_p,
+            ctypes.c_char_p,
+            ctypes.c_int64,
+            ctypes.POINTER(ctypes.c_int32),
+            ctypes.c_int64,
+        ]
+        lib.yabpe_encoder_cache_info.restype = None
+        lib.yabpe_encoder_cache_info.argtypes = [
+            ctypes.c_void_p,
+            ctypes.POINTER(ctypes.c_int64),
+            ctypes.POINTER(ctypes.c_int64),
+            ctypes.POINTER(ctypes.c_int64),
+        ]
+        lib.yabpe_encoder_cache_clear.restype = None
+        lib.yabpe_encoder_cache_clear.argtypes = [ctypes.c_void_p]
         lib.yabpe_train.restype = ctypes.c_void_p
         lib.yabpe_train.argtypes = [
             ctypes.c_char_p,
@@ -300,6 +328,77 @@ def train_host(
     return [
         (syms[left], syms[right]) for left, right in merges[:n_merges].tolist()
     ]
+
+
+class NativeEncoder:
+    """Per-word BPE encoder handle (extended-symbol space, cached)."""
+
+    def __init__(
+        self,
+        live: dict[tuple[int, int], tuple[int, int]],
+        out_ids: np.ndarray,
+    ) -> None:
+        lib = _load()
+        assert lib is not None, "native library unavailable"
+        self._lib = lib
+        keys = np.array(
+            [(np.uint64(sl) << np.uint64(32)) | np.uint64(sr) for sl, sr in live],
+            dtype=np.uint64,
+        )
+        ranks = np.array([r for r, _ in live.values()], dtype=np.int32)
+        news = np.array([s for _, s in live.values()], dtype=np.int32)
+        out32 = np.ascontiguousarray(out_ids, dtype=np.int32)
+        self._h: int | None = lib.yabpe_encoder_new(
+            keys.ctypes.data_as(ctypes.POINTER(ctypes.c_uint64)),
+            ranks.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+            news.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+            len(keys),
+            out32.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+            len(out32),
+        )
+
+    def encode_segment(self, data: bytes) -> np.ndarray:
+        """Pre-tokenize + BPE-encode a special-free UTF-8 segment."""
+        assert self._h is not None
+        n = len(data)
+        out = np.empty(max(n, 1), dtype=np.int32)
+        count = self._lib.yabpe_encode_segment(
+            self._h,
+            data,
+            n,
+            out.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+            n,
+        )
+        return out[:count]
+
+    def cache_info(self) -> tuple[int, int, int]:
+        """(hits, misses, cached words)."""
+        assert self._h is not None
+        hits = ctypes.c_int64()
+        misses = ctypes.c_int64()
+        size = ctypes.c_int64()
+        self._lib.yabpe_encoder_cache_info(
+            self._h,
+            ctypes.byref(hits),
+            ctypes.byref(misses),
+            ctypes.byref(size),
+        )
+        return hits.value, misses.value, size.value
+
+    def cache_clear(self) -> None:
+        assert self._h is not None
+        self._lib.yabpe_encoder_cache_clear(self._h)
+
+    def close(self) -> None:
+        if self._h is not None:
+            self._lib.yabpe_encoder_free(self._h)
+            self._h = None
+
+    def __del__(self) -> None:
+        try:
+            self.close()
+        except Exception:
+            pass
 
 
 class NativeCounter:

@@ -111,25 +111,13 @@ class DeviceEncoder:
         self._word_cache: dict[str, tuple[int, ...]] = {}
         self._word_cache_b: dict[bytes, tuple[int, ...]] = {}
 
-        # Extended symbol table: single bytes + live merge products.
-        sym_of: dict[bytes, int] = {bytes([b]): b for b in range(256)}
-        sym_bytes: list[bytes] = [bytes([b]) for b in range(256)]
-        # (left_sym, right_sym) -> (rank, new_sym); duplicates keep the last
-        # rank, matching the reference's dict construction.
-        live: dict[tuple[int, int], tuple[int, int]] = {}
-        for rank, (lb, rb) in enumerate(merges):
-            sl = sym_of.get(lb)
-            sr = sym_of.get(rb)
-            if sl is None or sr is None:
-                continue  # unreachable merge: its inputs can never be formed
-            tok = lb + rb
-            st = sym_of.get(tok)
-            if st is None:
-                st = len(sym_bytes)
-                sym_of[tok] = st
-                sym_bytes.append(tok)
-            live[(sl, sr)] = (rank, st)
+        # Extended symbol table: single bytes + live merge products
+        # (shared construction, yabpe_tpu.tok.symbols).
+        from yabpe_tpu.tok.symbols import extended_symbol_tables
 
+        sym_bytes, live, out_ids = extended_symbol_tables(
+            vocab, merges, self._unk_id
+        )
         n_syms = len(sym_bytes)
         if n_syms > 0xFFFF:
             raise ValueError(
@@ -157,9 +145,6 @@ class DeviceEncoder:
             self._sorted_ranks = jnp.full((1,), _NO_RANK, dtype=jnp.int32)
             self._sorted_new_syms = jnp.zeros((1,), dtype=jnp.int32)
 
-        out_ids = np.array(
-            [vocab.get(sb, self._unk_id) for sb in sym_bytes], dtype=np.int32
-        )
         self._out_ids = out_ids
         self._n_syms_dev = jnp.asarray(n_syms, dtype=jnp.uint32)
 

@@ -68,6 +68,7 @@ class BBPETokenizer:
             self._encode_bytes_impl
         )
         self._device_encoder = None  # built lazily by encode_batch(device=True)
+        self._native_encoder = None  # built lazily by _encode_plain_bytes
 
     @classmethod
     def from_file(cls, model_dir: str | Path) -> "BBPETokenizer":
@@ -142,11 +143,17 @@ class BBPETokenizer:
             out.extend(cached(word))
 
     def _encode_plain_bytes(self, data: bytes, out: list[int]) -> None:
-        cached_b = self._encode_bytes_cached
-        prev = 0
-        for end in native.pretok_offsets(data).tolist():
-            out.extend(cached_b(data[prev:end]))
-            prev = end
+        out.extend(self._get_native_encoder().encode_segment(data).tolist())
+
+    def _get_native_encoder(self):
+        if self._native_encoder is None:
+            from yabpe_tpu.tok.symbols import extended_symbol_tables
+
+            _, live, out_ids = extended_symbol_tables(
+                self._vocab, self._merges, self._unk_id
+            )
+            self._native_encoder = native.NativeEncoder(live, out_ids)
+        return self._native_encoder
 
     def _encode_word_impl(self, word: str) -> tuple[int, ...]:
         """BPE-encode one pre-token (batch-merge formulation, see module doc)."""
@@ -272,15 +279,21 @@ class BBPETokenizer:
     def clear_cache(self) -> None:
         self._encode_word_cached.cache_clear()
         self._encode_bytes_cached.cache_clear()
+        if self._native_encoder is not None:
+            self._native_encoder.cache_clear()
 
     def cache_info(self) -> str:
         info = self._encode_word_cached.cache_info()
         info_b = self._encode_bytes_cached.cache_info()
-        return (
-            f"hits={info.hits + info_b.hits}, "
-            f"misses={info.misses + info_b.misses}, "
-            f"size={info.currsize + info_b.currsize}/{info.maxsize}"
-        )
+        hits = info.hits + info_b.hits
+        misses = info.misses + info_b.misses
+        size = info.currsize + info_b.currsize
+        if self._native_encoder is not None:
+            n_hits, n_misses, n_size = self._native_encoder.cache_info()
+            hits += n_hits
+            misses += n_misses
+            size += n_size
+        return f"hits={hits}, misses={misses}, size={size}/{info.maxsize}"
 
 
 __all__ = ["BBPETokenizer"]
