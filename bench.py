@@ -28,7 +28,8 @@ sys.path.insert(0, str(REPO / "src"))
 # Reference numbers measured on this sandbox (see BASELINE.md and module doc).
 BASELINE_TRAIN_REAL5M_BYTES_PER_S = 675_213.0
 BASELINE_TRAIN_5M_BYTES_PER_S = 1_480_608.0
-BASELINE_ENCODE_5M_MB_PER_S = 9.79
+BASELINE_ENCODE_5M_MB_PER_S = 9.79  # repeated corpus, warm LRU
+BASELINE_ENCODE_REAL5M_MB_PER_S = 2.32  # realistic corpus, warm LRU
 BASELINE_TRAIN_CORPUS_EN_S = 0.24
 
 FIVE_M = REPO / "tests" / "fixtures_gpt2" / "tinystories_sample_5M.txt"
@@ -113,7 +114,7 @@ def bench_train_corpus_en() -> float:
 
 
 def bench_encode_5m() -> float:
-    """Device-batched encode of the 5 MB corpus with the GPT-2 model (MB/s)."""
+    """Encode throughput with the GPT-2 model on both corpora (MB/s)."""
     from yabpe_tpu import BBPETokenizer
     from yabpe_tpu.io import gpt2 as gpt2io
 
@@ -131,8 +132,20 @@ def bench_encode_5m() -> float:
     [ids] = tok.encode_batch([text], device=True)
     dt = time.perf_counter() - t0
     _log(
-        f"encode_5m(device): {dt:.3f}s = {nbytes / dt / 1e6:.2f} MB/s, "
+        f"encode_5m_repeated(device): {dt:.3f}s = {nbytes / dt / 1e6:.2f} MB/s, "
         f"{len(ids)} tokens (reference warm-cache {BASELINE_ENCODE_5M_MB_PER_S} MB/s)"
+    )
+
+    real = REAL_5M.read_text(encoding="utf-8")
+    nreal = len(real.encode("utf-8"))
+    tok.encode(real[:100_000])  # warm the native encoder tables
+    t0 = time.perf_counter()
+    ids_r = tok.encode(real)
+    dt_r = time.perf_counter() - t0
+    _log(
+        f"encode_real5m(host): {dt_r:.3f}s = {nreal / dt_r / 1e6:.2f} MB/s, "
+        f"{len(ids_r)} tokens ({nreal / dt_r / 1e6 / BASELINE_ENCODE_REAL5M_MB_PER_S:.1f}x "
+        f"reference warm-cache {BASELINE_ENCODE_REAL5M_MB_PER_S} MB/s)"
     )
     return nbytes / dt / 1e6
 
