@@ -41,24 +41,45 @@ def generate(path: str, size_mb: float, lexicon_size: int = 50000,
     probs = 1.0 / ranks
     probs /= probs.sum()
 
+    cum = np.cumsum(probs)
+    lex_cap = [w.capitalize() for w in lex]
+
     target = int(size_mb * 1024 * 1024)
     written = 0
     punct = [".", ",", "!", "?", ";"]
+    # Batched sampling: inverse-CDF via searchsorted (rng.choice with a
+    # probability vector is O(lexicon) per draw and unusable at GB scale).
+    sentences_per_batch = 100_000
     with open(path, "w", encoding="utf-8") as f:
         while written < target:
-            n_words = int(rng.integers(5, 18))
-            idx = rng.choice(lexicon_size, size=n_words, p=probs)
-            sentence_words = [lex[i] for i in idx]
-            sentence_words[0] = sentence_words[0].capitalize()
-            sentence = (
-                " ".join(sentence_words) + str(rng.choice(punct))
-            )
-            if rng.random() < 0.12:
-                sentence += "\n<|endoftext|>\n"
-            else:
-                sentence += " " if rng.random() < 0.8 else "\n"
-            f.write(sentence)
-            written += len(sentence)
+            n_words = rng.integers(5, 18, size=sentences_per_batch)
+            total = int(n_words.sum())
+            idx = np.searchsorted(cum, rng.random(total))
+            p_idx = rng.integers(0, len(punct), size=sentences_per_batch)
+            kind = rng.random(sentences_per_batch)
+            parts: list[str] = []
+            pos = 0
+            for s in range(sentences_per_batch):
+                n = int(n_words[s])
+                words = idx[pos : pos + n]
+                pos += n
+                parts.append(lex_cap[words[0]])
+                for w in words[1:].tolist():
+                    parts.append(" ")
+                    parts.append(lex[w])
+                parts.append(punct[p_idx[s]])
+                k = kind[s]
+                if k < 0.12:
+                    parts.append("\n<|endoftext|>\n")
+                elif k < 0.82:
+                    parts.append(" ")
+                else:
+                    parts.append("\n")
+            chunk = "".join(parts)
+            f.write(chunk)
+            written += len(chunk)
+            if written >= target:
+                break
     print(f"wrote {written} bytes to {path} (lexicon {lexicon_size})")
 
 
