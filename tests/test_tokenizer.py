@@ -94,6 +94,20 @@ def test_encode_batch_device_matches_host(tok):
     assert tok.encode_batch(texts, device=True) == tok.encode_batch(texts)
 
 
+def test_encode_file_parallel_exact(tok, tmp_path):
+    """encode_file (pretoken-safe chunked, process pool) ≡ whole-text encode,
+    across chunk boundaries and specials."""
+    import numpy as np
+
+    base = (DATA / "sample.txt").read_text(encoding="utf-8")
+    text = (base + "\n<|endoftext|>\n") * 40  # force several 4 KiB chunks
+    p = tmp_path / "corpus.txt"
+    p.write_text(text, encoding="utf-8")
+    got = tok.encode_file(p, max_workers=3, chunk_bytes=4096)
+    expected = np.asarray(tok.encode(text), dtype=np.int32)
+    assert np.array_equal(got, expected)
+
+
 def test_encode_iterable_streams(tok):
     with open(DATA / "sample.txt", encoding="utf-8") as f:
         streamed = list(tok.encode_iterable(f))
