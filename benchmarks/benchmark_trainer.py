@@ -16,8 +16,9 @@ REF_FIX = Path("/root/reference/tests/fixtures_gpt2")
 
 
 def run(name, files, vocab_size, **kw):
+    kw.setdefault("min_frequency", 1)
     cfg = BBPETrainerConfig(
-        vocab_size=vocab_size, min_frequency=1, max_workers=8,
+        vocab_size=vocab_size, max_workers=8,
         special_tokens=["<|endoftext|>"], **kw,
     )
     tr = BBPETrainer(cfg)
@@ -47,6 +48,12 @@ def main():
     if synth.exists():
         run("synthetic 100MB @8192", [synth], 8192,
             chunk_size_bytes=8 << 20, align_chunks_to_newline=True,
+            min_frequency=2)
+    synth_1g = Path("/tmp/synth_1G.txt")
+    if synth_1g.exists():
+        # North-star workload (BASELINE.json): 32k-merge training on ~1 GB.
+        run("synthetic 1GB @32000", [synth_1g], 32000,
+            chunk_size_bytes=32 << 20, align_chunks_to_newline=True,
             min_frequency=2)
 
 
