@@ -287,13 +287,26 @@ def train_host(
     greatest tie-break, leftmost merge scan, dedup branch); bit-identical
     to the device loop. Returns the learned merges as byte-string pairs.
     """
-    lib = _load()
-    assert lib is not None, "native library unavailable"
     items = [(w, c) for w, c in word_counts.items() if c > 0 and len(w) > 0]
     blob = b"".join(w for w, _ in items)
     lens = np.array([len(w) for w, _ in items], dtype=np.int32)
     counts = np.array([c for _, c in items], dtype=np.int64)
-    n = len(items)
+    return train_host_raw(blob, lens, counts, num_merges, min_frequency)
+
+
+def train_host_raw(
+    blob: bytes,
+    lens: np.ndarray,
+    counts: np.ndarray,
+    num_merges: int,
+    min_frequency: int,
+) -> list[tuple[bytes, bytes]]:
+    """:func:`train_host` over a raw exported word table (no dict)."""
+    lib = _load()
+    assert lib is not None, "native library unavailable"
+    lens = np.ascontiguousarray(lens, dtype=np.int32)
+    counts = np.ascontiguousarray(counts, dtype=np.int64)
+    n = len(lens)
     handle = lib.yabpe_train(
         blob,
         lens.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),

@@ -64,23 +64,52 @@ def _count_span_native(
     return counter
 
 
+def _native_root_counter(
+    tasks: list[tuple[str, int, int]],
+    specials: tuple[str, ...],
+    max_workers: int,
+) -> native.NativeCounter:
+    """Count all spans natively and fold into one counter (tree merge)."""
+    if max_workers <= 1 or len(tasks) == 1:
+        parts = [_count_span_native(*t, specials) for t in tasks]
+        for part in parts[1:]:
+            parts[0].merge(part)
+            part.close()
+        return parts[0]
+    with ThreadPoolExecutor(max_workers=max_workers) as pool:
+        futures = [
+            pool.submit(_count_span_native, *t, specials) for t in tasks
+        ]
+        parts = [f.result() for f in futures]
+
+        def _merge_pair(dst: native.NativeCounter, src: native.NativeCounter):
+            dst.merge(src)
+            src.close()
+            return dst
+
+        # Pairwise tree reduction: merges run concurrently (the C merge
+        # releases the GIL), so the fold is O(log n) rounds deep instead
+        # of one serial O(total entries) pass.
+        while len(parts) > 1:
+            nxt = []
+            merge_futures = []
+            for i in range(0, len(parts) - 1, 2):
+                merge_futures.append(
+                    pool.submit(_merge_pair, parts[i], parts[i + 1])
+                )
+            if len(parts) % 2:
+                nxt.append(parts[-1])
+            nxt[0:0] = [f.result() for f in merge_futures]
+            parts = nxt
+    return parts[0]
+
+
 def _native_counts(
     tasks: list[tuple[str, int, int]],
     specials: tuple[str, ...],
     max_workers: int,
 ) -> Counter[bytes]:
-    if max_workers <= 1 or len(tasks) == 1:
-        parts = [_count_span_native(*t, specials) for t in tasks]
-    else:
-        with ThreadPoolExecutor(max_workers=max_workers) as pool:
-            futures = [
-                pool.submit(_count_span_native, *t, specials) for t in tasks
-            ]
-            parts = [f.result() for f in futures]
-    root = parts[0]
-    for part in parts[1:]:
-        root.merge(part)
-        part.close()
+    root = _native_root_counter(tasks, specials, max_workers)
     words, lens, counts = root.export()
     root.close()
     total: Counter[bytes] = Counter()
@@ -90,6 +119,40 @@ def _native_counts(
         off += length
     total.pop(b"", None)
     return total
+
+
+def count_pretokens_raw(
+    files: Sequence[str | Path],
+    special_tokens: Sequence[str],
+    *,
+    chunk_size_bytes: int = 8 * 1024 * 1024,
+    max_workers: int = 8,
+    align_to_newline: bool = False,
+) -> tuple[bytes, "object", "object"] | None:
+    """Native-only variant of :func:`count_pretokens` returning the raw
+    exported word table (concatenated word bytes, int32 lengths, int64
+    counts) without materializing Python byte strings — the zero-copy feed
+    for the native merge loop. Returns None when the native scanner is
+    unavailable.
+    """
+    if not native.available():
+        return None
+    specials = tuple(special_tokens)
+    tasks: list[tuple[str, int, int]] = []
+    for file in files:
+        p = chunking.ensure_exists(file)
+        for start, end in chunking.chunk_spans(
+            p, chunk_size_bytes, align_to_newline=align_to_newline
+        ):
+            tasks.append((str(p), start, end))
+    if not tasks:
+        import numpy as np
+
+        return b"", np.zeros(0, dtype=np.int32), np.zeros(0, dtype=np.int64)
+    root = _native_root_counter(tasks, specials, max_workers)
+    words, lens, counts = root.export()
+    root.close()
+    return words, lens, counts
 
 
 def count_pretokens(
@@ -151,4 +214,4 @@ def count_pretokens(
     return total
 
 
-__all__ = ["count_pretokens"]
+__all__ = ["count_pretokens", "count_pretokens_raw"]

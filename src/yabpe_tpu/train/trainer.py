@@ -10,6 +10,7 @@ input validation). The merge loop itself runs on device
 from __future__ import annotations
 
 import time
+from collections import Counter
 from collections.abc import Sequence
 from pathlib import Path
 
@@ -27,6 +28,16 @@ from yabpe_tpu.utils.logging import get_logger
 _LOG = get_logger(__name__)
 
 
+def _counter_from_raw(blob: bytes, lens, counts) -> Counter[bytes]:
+    """Materialize a Counter from a raw exported word table."""
+    total: Counter[bytes] = Counter()
+    off = 0
+    for length, count in zip(lens.tolist(), counts.tolist()):
+        total[blob[off : off + length]] = count
+        off += length
+    return total
+
+
 class BBPETrainer:
     """Byte-level BPE trainer with a device-resident merge loop."""
 
@@ -42,19 +53,45 @@ class BBPETrainer:
             raise ValueError("At least one file must be provided")
         cfg = self.config
 
+        base = Vocab.base(cfg.special_tokens)
+        num_merges = max(0, cfg.vocab_size - len(base))
+
+        # Raw ingest fast path: when the native merge loop may take the
+        # workload, keep the word table as exported arrays end to end (no
+        # per-word Python byte strings).
+        raw = None
+        counter = None
         t0 = time.perf_counter()
-        counter = count_pretokens(
-            files,
-            cfg.special_tokens,
-            chunk_size_bytes=cfg.chunk_size_bytes,
-            max_workers=cfg.max_workers,
-            align_to_newline=cfg.align_chunks_to_newline,
-            use_processes=cfg.ingest_processes,
-        )
+        if cfg.backend == "jax" and self._native_loop_candidate():
+            from yabpe_tpu.pretok.ingest import count_pretokens_raw
+
+            raw = count_pretokens_raw(
+                files,
+                cfg.special_tokens,
+                chunk_size_bytes=cfg.chunk_size_bytes,
+                max_workers=cfg.max_workers,
+                align_to_newline=cfg.align_chunks_to_newline,
+            )
+        if raw is None:
+            counter = count_pretokens(
+                files,
+                cfg.special_tokens,
+                chunk_size_bytes=cfg.chunk_size_bytes,
+                max_workers=cfg.max_workers,
+                align_to_newline=cfg.align_chunks_to_newline,
+                use_processes=cfg.ingest_processes,
+            )
         t_ingest = time.perf_counter() - t0
 
-        base = Vocab.base(cfg.special_tokens)
-        if not counter:
+        if raw is not None:
+            blob, lens, counts = raw
+            n_unique = len(lens)
+            corpus_bytes = int(np.dot(lens.astype(np.int64), counts))
+        else:
+            n_unique = len(counter)
+            corpus_bytes = sum(len(w) * c for w, c in counter.items())
+
+        if n_unique == 0:
             self._vocab = base.as_bytes_to_id()
             self._merges = []
             return BBPEModel(
@@ -67,17 +104,36 @@ class BBPETrainer:
                 counter, cfg.special_tokens, cfg.vocab_size, cfg.min_frequency
             )
         elif cfg.backend == "jax":
-            vocab, merges = self._train_device(counter, base)
+            if raw is not None and self._should_use_native_loop(
+                n_unique, num_merges
+            ):
+                from yabpe_tpu import native
+
+                merges = (
+                    native.train_host_raw(
+                        blob, lens, counts, num_merges, cfg.min_frequency
+                    )
+                    if num_merges > 0
+                    else []
+                )
+                vocab = Vocab()
+                for tok in base.tokens():
+                    vocab.add(tok)
+                for left, right in merges:
+                    vocab.add(left + right)
+            else:
+                if counter is None:
+                    counter = _counter_from_raw(blob, lens, counts)
+                vocab, merges = self._train_device(counter, base)
         else:
             raise ValueError(f"unknown backend {cfg.backend!r}")
         t_merge = time.perf_counter() - t0
 
-        corpus_bytes = sum(len(w) * c for w, c in counter.items())
         self.last_stats = {
             "ingest_seconds": t_ingest,
             "merge_seconds": t_merge,
             "corpus_bytes": float(corpus_bytes),
-            "unique_pretokens": float(len(counter)),
+            "unique_pretokens": float(n_unique),
             "num_merges": float(len(merges)),
             "bytes_per_second": corpus_bytes / max(t_ingest + t_merge, 1e-9),
         }
@@ -106,19 +162,6 @@ class BBPETrainer:
         num_merges = max(0, cfg.vocab_size - len(base))
         if num_merges == 0:
             return base, []
-
-        if self._should_use_native_loop(counter, num_merges):
-            from yabpe_tpu import native
-
-            merges = native.train_host(
-                dict(counter), num_merges, cfg.min_frequency
-            )
-            vocab = Vocab()
-            for tok in base.tokens():
-                vocab.add(tok)
-            for left, right in merges:
-                vocab.add(left + right)
-            return vocab, merges
 
         vocab_cap = max(cfg.vocab_size, len(base))
         table_bytes = 4 * vocab_cap * vocab_cap // max(1, cfg.vocab_shards)
@@ -151,34 +194,32 @@ class BBPETrainer:
 
         return train_state.merges_to_bytes(merges_ids, base)
 
-    def _should_use_native_loop(self, counter, num_merges: int) -> bool:
-        """Route tiny workloads to the C++ host merge loop.
-
-        The device loop pays a host<->device round trip per merge chunk;
-        for latency-bound small problems the native loop wins outright.
-        The cost of the native loop is ~ num_merges * |pair table|
-        (full-scan argmax per merge), so gate on that estimate.
-        """
+    def _native_loop_candidate(self) -> bool:
+        """Config-level eligibility for the C++ host merge loop."""
         cfg = self.config
         if cfg.use_native_loop is False:
-            return False
-        if cfg.backend != "jax" and cfg.use_native_loop is not True:
             return False
         if (cfg.data_shards and cfg.data_shards > 1) or cfg.checkpoint_dir:
             return False  # distributed / checkpointed runs stay on device
 
         from yabpe_tpu import native
 
-        if not native.available():
+        return native.available()
+
+    def _should_use_native_loop(self, n_unique: int, num_merges: int) -> bool:
+        """Route latency-bound workloads to the C++ host merge loop.
+
+        The device loop pays a host<->device round trip per merge chunk;
+        for latency-bound problems the native (lazy max-heap) loop wins
+        outright — the measured crossover is far above 32k merges on a
+        583k-unique-word corpus (1 GB), which runs in ~26 s.
+        """
+        if not self._native_loop_candidate():
             return False
-        if cfg.use_native_loop is True:
+        if self.config.use_native_loop is True:
             return True
-        # Auto mode: the heap-based native loop wins until the word table
-        # gets large enough for the device path's row-parallelism to pay
-        # for its per-chunk round trips (measured crossover is far above
-        # 32k merges on a 133k-unique-word corpus, which runs in ~6 s).
-        est = num_merges * max(1000, 8 * len(counter))
-        return est < 100_000_000_000
+        est = num_merges * max(1000, 8 * n_unique)
+        return est < 300_000_000_000
 
     def _run_single_device(
         self, table: WordTable, base: Vocab, vocab_cap: int, num_merges: int
