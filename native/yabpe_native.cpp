@@ -603,9 +603,10 @@ int64_t yabpe_encode_segment(void* h, const uint8_t* text, int64_t n,
   return written;
 }
 
-void yabpe_encoder_cache_info(const void* h, int64_t* hits, int64_t* misses,
+void yabpe_encoder_cache_info(void* h, int64_t* hits, int64_t* misses,
                               int64_t* size) {
-  const Encoder* e = (const Encoder*)h;
+  Encoder* e = (Encoder*)h;
+  std::lock_guard<std::mutex> lock(e->mu);
   *hits = e->hits;
   *misses = e->misses;
   *size = (int64_t)e->cache.size();

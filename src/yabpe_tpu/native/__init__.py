@@ -17,6 +17,7 @@ from __future__ import annotations
 import ctypes
 import os
 import subprocess
+import sys
 import threading
 from pathlib import Path
 
@@ -39,7 +40,7 @@ def _build() -> bool:
     try:
         if not tables.exists():
             subprocess.run(
-                ["python", str(_NATIVE_DIR / "gen_tables.py")],
+                [sys.executable, str(_NATIVE_DIR / "gen_tables.py")],
                 check=True,
                 capture_output=True,
             )

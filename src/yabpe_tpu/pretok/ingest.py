@@ -104,6 +104,17 @@ def _native_root_counter(
     return parts[0]
 
 
+def counter_from_raw(blob: bytes, lens, counts) -> Counter[bytes]:
+    """Materialize a Counter from a raw exported word table."""
+    total: Counter[bytes] = Counter()
+    off = 0
+    for length, count in zip(lens.tolist(), counts.tolist()):
+        total[blob[off : off + length]] = count
+        off += length
+    total.pop(b"", None)
+    return total
+
+
 def _native_counts(
     tasks: list[tuple[str, int, int]],
     specials: tuple[str, ...],
@@ -112,13 +123,7 @@ def _native_counts(
     root = _native_root_counter(tasks, specials, max_workers)
     words, lens, counts = root.export()
     root.close()
-    total: Counter[bytes] = Counter()
-    off = 0
-    for length, count in zip(lens.tolist(), counts.tolist()):
-        total[words[off : off + length]] = count
-        off += length
-    total.pop(b"", None)
-    return total
+    return counter_from_raw(words, lens, counts)
 
 
 def count_pretokens_raw(

@@ -64,9 +64,6 @@ class BBPETokenizer:
         self._encode_word_cached = lru_cache(maxsize=_CACHE_SIZE)(
             self._encode_word_impl
         )
-        self._encode_bytes_cached = lru_cache(maxsize=_CACHE_SIZE)(
-            self._encode_bytes_impl
-        )
         self._device_encoder = None  # built lazily by encode_batch(device=True)
         self._native_encoder = None  # built lazily by _encode_plain_bytes
 
@@ -278,16 +275,12 @@ class BBPETokenizer:
 
     def clear_cache(self) -> None:
         self._encode_word_cached.cache_clear()
-        self._encode_bytes_cached.cache_clear()
         if self._native_encoder is not None:
             self._native_encoder.cache_clear()
 
     def cache_info(self) -> str:
         info = self._encode_word_cached.cache_info()
-        info_b = self._encode_bytes_cached.cache_info()
-        hits = info.hits + info_b.hits
-        misses = info.misses + info_b.misses
-        size = info.currsize + info_b.currsize
+        hits, misses, size = info.hits, info.misses, info.currsize
         if self._native_encoder is not None:
             n_hits, n_misses, n_size = self._native_encoder.cache_info()
             hits += n_hits

@@ -10,7 +10,6 @@ input validation). The merge loop itself runs on device
 from __future__ import annotations
 
 import time
-from collections import Counter
 from collections.abc import Sequence
 from pathlib import Path
 
@@ -26,16 +25,6 @@ from yabpe_tpu.train.reference_loop import train_merges_oracle
 from yabpe_tpu.utils.logging import get_logger
 
 _LOG = get_logger(__name__)
-
-
-def _counter_from_raw(blob: bytes, lens, counts) -> Counter[bytes]:
-    """Materialize a Counter from a raw exported word table."""
-    total: Counter[bytes] = Counter()
-    off = 0
-    for length, count in zip(lens.tolist(), counts.tolist()):
-        total[blob[off : off + length]] = count
-        off += length
-    return total
 
 
 class BBPETrainer:
@@ -123,7 +112,9 @@ class BBPETrainer:
                     vocab.add(left + right)
             else:
                 if counter is None:
-                    counter = _counter_from_raw(blob, lens, counts)
+                    from yabpe_tpu.pretok.ingest import counter_from_raw
+
+                    counter = counter_from_raw(blob, lens, counts)
                 vocab, merges = self._train_device(counter, base)
         else:
             raise ValueError(f"unknown backend {cfg.backend!r}")
