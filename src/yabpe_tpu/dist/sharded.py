@@ -23,7 +23,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 from jax.sharding import NamedSharding, PartitionSpec as P
-from jax.experimental.shard_map import shard_map
+from jax import shard_map
 
 from yabpe_tpu.core.vocab import Vocab
 from yabpe_tpu.core.wordtable import WordTable
@@ -293,7 +293,7 @@ def run_sharded_merge_loop(
             mesh=mesh,
             in_specs=(specs, P()),
             out_specs=specs,
-            check_rep=False,
+            check_vma=False,
         ),
         donate_argnums=(0,),
     )

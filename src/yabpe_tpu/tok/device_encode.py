@@ -47,8 +47,7 @@ def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
 
 
-@partial(jax.jit, donate_argnums=(0,))
-def _scan_encode(
+def _scan_encode_impl(
     words: jax.Array,
     sorted_keys: jax.Array,
     sorted_ranks: jax.Array,
@@ -90,6 +89,24 @@ def _scan_encode(
     return jax.lax.while_loop(has_work, body, words)
 
 
+_scan_encode = partial(jax.jit, donate_argnums=(0,))(_scan_encode_impl)
+
+
+def _build_sharded_scan(mesh):
+    """Shard tile rows over the mesh's ``data`` axis; merge tables are
+    replicated. Rows are independent, so each shard runs its own scan
+    while_loop to completion with no cross-device sync per iteration."""
+    from jax.sharding import PartitionSpec as P
+
+    fn = jax.shard_map(
+        _scan_encode_impl,
+        mesh=mesh,
+        in_specs=(P("data", None), P(), P(), P(), P()),
+        out_specs=P("data", None),
+    )
+    return jax.jit(fn)
+
+
 class DeviceEncoder:
     """Packs pre-tokens into tiles and encodes them with the scan kernel."""
 
@@ -100,8 +117,21 @@ class DeviceEncoder:
         special_tokens: list[str] | None = None,
         *,
         max_rows: int = 8192,
+        data_shards: int | None = None,
     ) -> None:
+        """``data_shards``: shard encode tiles row-wise over a ``data``
+        mesh of that many devices (pod-scale batched encode); None/1 =
+        single device."""
         self._vocab = vocab
+        self._sharded_scan = None
+        if data_shards and data_shards > 1:
+            from yabpe_tpu.dist.mesh import make_data_mesh
+
+            self._mesh = make_data_mesh(data_shards)
+            self._sharded_scan = _build_sharded_scan(self._mesh)
+            if max_rows % data_shards:
+                max_rows = _round_up(max_rows, data_shards)
+        self._data_shards = data_shards or 1
         self._special_tokens = special_tokens or []
         self._special_set = frozenset(self._special_tokens)
         self._pattern = compile_gpt2_pattern()
@@ -289,11 +319,13 @@ class DeviceEncoder:
             rows = 128
             while rows < len(batch):
                 rows *= 2
+            rows = _round_up(rows, self._data_shards)
             tile = np.full((rows, width), PAD, dtype=np.int32)
             for i, b in enumerate(batch):
                 tile[i, : len(b)] = np.frombuffer(b, dtype=np.uint8)
+            scan = self._sharded_scan or _scan_encode
             result = np.asarray(
-                _scan_encode(
+                scan(
                     jnp.asarray(tile),
                     self._sorted_keys,
                     self._sorted_ranks,

@@ -64,7 +64,8 @@ class BBPETokenizer:
         self._encode_word_cached = lru_cache(maxsize=_CACHE_SIZE)(
             self._encode_word_impl
         )
-        self._device_encoder = None  # built lazily by encode_batch(device=True)
+        # built lazily by encode_batch(device=True), keyed by shard count
+        self._device_encoder: dict[int, object] = {}
         self._native_encoder = None  # built lazily by _encode_plain_bytes
 
     @classmethod
@@ -196,15 +197,21 @@ class BBPETokenizer:
         return tuple(vocab.get(s, unk) for s in syms)
 
     def encode_batch(
-        self, texts: Sequence[str], *, device: bool = False
+        self,
+        texts: Sequence[str],
+        *,
+        device: bool = False,
+        data_shards: int | None = None,
     ) -> list[list[int]]:
         """Encode multiple texts.
 
         With ``device=True``, pre-tokens from all texts are packed into
-        padded tiles and encoded by the jitted merge-rank scan kernel.
+        padded tiles and encoded by the jitted merge-rank scan kernel;
+        ``data_shards`` additionally shards tile rows over a ``data`` mesh
+        of that many devices.
         """
         if device:
-            return self._get_device_encoder().encode_batch(texts)
+            return self._get_device_encoder(data_shards).encode_batch(texts)
         return [self.encode(t) for t in texts]
 
     def encode_iterable(self, iterable: Iterable[str]) -> Iterator[int]:
@@ -236,16 +243,18 @@ class BBPETokenizer:
             chunk_bytes=chunk_bytes,
         )
 
-    def _get_device_encoder(self):
-        if self._device_encoder is None:
+    def _get_device_encoder(self, data_shards: int | None = None):
+        key = data_shards or 1
+        if self._device_encoder.get(key) is None:
             from yabpe_tpu.tok.device_encode import DeviceEncoder
 
-            self._device_encoder = DeviceEncoder(
+            self._device_encoder[key] = DeviceEncoder(
                 vocab=self._vocab,
                 merges=self._merges,
                 special_tokens=self._special_tokens,
+                data_shards=data_shards,
             )
-        return self._device_encoder
+        return self._device_encoder[key]
 
     # ------------------------------------------------------------------ decode
 

@@ -58,6 +58,28 @@ def corpus_table():
     return WordTable.from_counter(counter), base
 
 
+@pytest.mark.parametrize("shards", [2, 8])
+def test_sharded_device_encode_matches_single(shards):
+    from yabpe_tpu import BBPETokenizer
+    from yabpe_tpu.io import gpt2 as gpt2io
+
+    from .common import LOCAL_FIXTURES
+
+    merges = gpt2io.load_gpt2_merges(REF_FIXTURES / "gpt2_merges.txt")
+    vocab = gpt2io.load_gpt2_vocab(LOCAL_FIXTURES / "gpt2_vocab.json")
+    tok = BBPETokenizer(
+        vocab=vocab, merges=merges, special_tokens=["<|endoftext|>"]
+    )
+    texts = [
+        (REF_FIXTURES / "address.txt").read_text(encoding="utf-8"),
+        "pair<|endoftext|>of documents 東京 👋🏽",
+    ]
+    single = tok.encode_batch(texts, device=True)
+    sharded = tok.encode_batch(texts, device=True, data_shards=shards)
+    assert sharded == single
+    assert single == tok.encode_batch(texts)  # host parity too
+
+
 def test_mesh_construction():
     mesh = make_data_mesh(8)
     assert mesh.shape == {"data": 8}
