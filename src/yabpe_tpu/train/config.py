@@ -32,8 +32,10 @@ class BBPETrainerConfig:
             matmul; exact while counts < 2**24), or "auto".
         merge_chunk_size: merge steps executed per jitted chunk; the host
             only syncs the stop flag between chunks.
-        ingest_processes: use a process pool for ingestion (beats the GIL);
-            None = auto (processes for corpora over ~8 MB).
+        ingest_processes: use a process pool for regex-path ingestion
+            (beats the GIL); None = auto (processes for corpora over
+            ~8 MB). Ignored by the native scanner path, which releases
+            the GIL and parallelizes with threads.
         align_chunks_to_newline: end ingestion chunks at newlines so
             pre-tokens never straddle chunk boundaries (off for strict
             reference parity).
