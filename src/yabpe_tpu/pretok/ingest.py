@@ -15,6 +15,7 @@ fixed-width padded array the device merge loop consumes.
 
 from __future__ import annotations
 
+import os
 from collections import Counter
 from collections.abc import Sequence
 from concurrent.futures import ProcessPoolExecutor, ThreadPoolExecutor
@@ -70,6 +71,9 @@ def _native_root_counter(
     max_workers: int,
 ) -> native.NativeCounter:
     """Count all spans natively and fold into one counter (tree merge)."""
+    # The native scan is CPU-bound with the GIL released; threads beyond
+    # the physical cores only add contention.
+    max_workers = min(max_workers, os.cpu_count() or 1)
     if max_workers <= 1 or len(tasks) == 1:
         parts = [_count_span_native(*t, specials) for t in tasks]
         for part in parts[1:]:
