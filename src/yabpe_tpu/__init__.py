@@ -17,8 +17,10 @@ encoder is a vectorized merge-rank scan. See ``yabpe_tpu.train`` and
 """
 
 from yabpe_tpu.utils.jaxsetup import setup_compilation_cache as _setup_cache
+from yabpe_tpu.utils.hostmem import tune_malloc as _tune_malloc
 
 _setup_cache()
+_tune_malloc()
 
 from yabpe_tpu.train.config import BBPETrainerConfig
 from yabpe_tpu.train.model import BBPEModel

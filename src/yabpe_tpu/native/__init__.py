@@ -118,6 +118,17 @@ def _load() -> ctypes.CDLL | None:
             ctypes.POINTER(ctypes.c_int32),
             ctypes.c_int64,
         ]
+        lib.yabpe_pretok_word_ids_specials.restype = ctypes.c_int64
+        lib.yabpe_pretok_word_ids_specials.argtypes = [
+            ctypes.c_void_p,
+            ctypes.c_char_p,
+            ctypes.c_int64,
+            ctypes.c_char_p,
+            ctypes.POINTER(ctypes.c_int32),
+            ctypes.c_int32,
+            ctypes.POINTER(ctypes.c_int32),
+            ctypes.c_int64,
+        ]
         lib.yabpe_find_specials.restype = ctypes.c_int64
         lib.yabpe_find_specials.argtypes = [
             ctypes.c_char_p,
@@ -452,6 +463,27 @@ class NativeCounter:
             self._h,
             data,
             n,
+            out.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+            n,
+        )
+        return out[:count]
+
+    def add_word_ids_specials(self, data: bytes) -> np.ndarray:
+        """Tokenizer-dialect pre-tokenize ``data`` with this counter's
+        special tokens in one native pass: returns per-element ids where a
+        pre-token occurrence yields its unique-word id (registered here)
+        and a special occurrence yields ``-(1 + special_index)`` (index
+        into the constructor's longest-first special ordering)."""
+        assert self._h is not None
+        n = len(data)
+        out = np.empty(max(n, 1), dtype=np.int32)
+        count = self._lib.yabpe_pretok_word_ids_specials(
+            self._h,
+            data,
+            n,
+            self._special_bytes,
+            self._special_lens,
+            self._n_specials,
             out.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
             n,
         )

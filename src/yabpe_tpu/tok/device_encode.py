@@ -216,32 +216,20 @@ class DeviceEncoder:
         return out
 
     def _encode_batch_native(self, texts: Sequence[str]) -> list[list[int]]:
-        counter = native.NativeCounter()
-        sp_bytes = [
-            s.encode("utf-8")
-            for s in sorted(self._special_tokens, key=len, reverse=True)
+        # One native pass per text: unique-word ids per pre-token occurrence,
+        # -(1+special_index) per special occurrence (tokenizer dialect,
+        # longest-first — tokenizer.py:100-102 semantics).
+        specials_sorted = sorted(self._special_tokens, key=len, reverse=True)
+        counter = native.NativeCounter(tuple(specials_sorted))
+        sp_ids = [
+            self._vocab.get(s.encode("utf-8")) for s in specials_sorted
         ]
-        sp_ids = [self._vocab.get(b) for b in sp_bytes]
-        # Per text: list of ("s", special_id) | ("w", occurrence-id array).
-        structures: list[list[tuple[str, object]]] = []
-        for text in texts:
-            segs: list[tuple[str, object]] = []
-            if text:
-                data = text.encode("utf-8")
-                prev = 0
-                if sp_bytes:
-                    starts, ids = native.find_specials(data, sp_bytes)
-                    for start, sid in zip(starts.tolist(), ids.tolist()):
-                        if start > prev:
-                            segs.append(
-                                ("w", counter.add_word_ids(data[prev:start]))
-                            )
-                        if sp_ids[sid] is not None:
-                            segs.append(("s", sp_ids[sid]))
-                        prev = start + len(sp_bytes[sid])
-                if prev < len(data):
-                    segs.append(("w", counter.add_word_ids(data[prev:])))
-            structures.append(segs)
+        occs = [
+            counter.add_word_ids_specials(text.encode("utf-8"))
+            if text
+            else np.empty(0, dtype=np.int32)
+            for text in texts
+        ]
 
         uniq = counter.export_words()
         counter.close()
@@ -251,7 +239,14 @@ class DeviceEncoder:
             for enc, word in zip(self._encode_word_rows(new), new):
                 cache[word] = enc
 
+        # Flat encoding table: unique words first, then one pseudo-word per
+        # special (its vocab id, or empty when the special isn't in the
+        # vocab — the reference drops such specials, tokenizer.py:177-181).
         encodings = [cache[w] for w in uniq]
+        encodings.extend(
+            (sid,) if sid is not None else () for sid in sp_ids
+        )
+        n_uniq = len(uniq)
         lens = np.array([len(e) for e in encodings], dtype=np.int64)
         starts = np.zeros(len(encodings), dtype=np.int64)
         if len(encodings):
@@ -261,25 +256,20 @@ class DeviceEncoder:
             flat[s : s + len(enc)] = enc
 
         out: list[list[int]] = []
-        for segs in structures:
-            chunks: list[np.ndarray] = []
-            for kind, payload in segs:
-                if kind == "s":
-                    chunks.append(np.array([payload], dtype=np.int32))
-                else:
-                    occ = payload
-                    length = lens[occ]
-                    csum = np.cumsum(length)
-                    total = int(csum[-1]) if len(csum) else 0
-                    # segment-gather: one repeat of the combined offset
-                    idx = np.arange(total, dtype=np.int64) + np.repeat(
-                        starts[occ] - (csum - length), length
-                    )
-                    chunks.append(flat[idx])
-            if chunks:
-                out.append(np.concatenate(chunks).tolist())
-            else:
+        for occ in occs:
+            if not len(occ):
                 out.append([])
+                continue
+            # Map special sentinels onto their pseudo-word rows, then do a
+            # single segment-gather over the flat table for the whole text.
+            occ = np.where(occ >= 0, occ, n_uniq + (-occ - 1))
+            length = lens[occ]
+            csum = np.cumsum(length)
+            total = int(csum[-1])
+            idx = np.arange(total, dtype=np.int64) + np.repeat(
+                starts[occ] - (csum - length), length
+            )
+            out.append(flat[idx].tolist())
         return out
 
     # ----------------------------------------------------------------- helpers

@@ -117,6 +117,51 @@ def test_word_ids_reconstruct_stream():
     )
 
 
+def test_word_ids_specials_matches_split_dialect():
+    """Combined specials+pretok pass ≡ split-then-findall (tokenizer
+    dialect, reference tokenizer.py:100-102,171-190), specials emitted as
+    -(1+index) in longest-first order."""
+    from yabpe_tpu.pretok.patterns import compile_special_splitter
+
+    specials = ["<|endoftext|>", "<|endoftext|><|endoftext|>", "<|eot|>"]
+    sp_sorted = sorted(specials, key=len, reverse=True)
+    splitter = compile_special_splitter(sp_sorted)
+    pattern = compile_gpt2_pattern()
+    cases = [
+        "",
+        "<|endoftext|>",
+        "<|endoftext|><|endoftext|>",  # must match the doubled special once
+        "a<|eot|>b",
+        "hello <|endoftext|>world<|eot|>",
+        "tail text <|endoftext|>",
+        "<|eot|>leading",
+        "mid<|endoftext|>dle\n\nnext<|endoftext|><|endoftext|>tail '",
+    ]
+    rng = random.Random(11)
+    for _ in range(50):
+        cases.append(
+            "".join(rng.choice(_FUZZ_ALPHABET) for _ in range(rng.randint(0, 40)))
+        )
+    for text in cases:
+        expected: list[object] = []
+        for part in splitter.split(text):
+            if not part:
+                continue
+            if part in sp_sorted:
+                expected.append(("S", sp_sorted.index(part)))
+            else:
+                expected.extend(pattern.findall(part))
+        counter = native.NativeCounter(tuple(sp_sorted))
+        occ = counter.add_word_ids_specials(text.encode("utf-8"))
+        uniq = counter.export_words()
+        counter.close()
+        got: list[object] = [
+            ("S", -i - 1) if i < 0 else uniq[i].decode("utf-8")
+            for i in occ.tolist()
+        ]
+        assert got == expected, text
+
+
 def test_utf8_validator_matches_python():
     cases = [
         b"hello",
