@@ -706,12 +706,122 @@ namespace {
 
 struct PairRec {
   int64_t count = 0;
+  int32_t gen = -1;            // last merge iteration this pair was touched
   std::vector<int32_t> words;  // candidate word indices (may be stale)
 };
 
 struct HeapEntry {
   int64_t count;
   uint64_t key;
+};
+
+// Open-addressing (linear probe, tombstoned) map keyed by packed pair ids.
+// std::unordered_map's node-based buckets were ~1/3 of training time
+// (gprof); pair keys are dense random uint64s so a flat table with a
+// splitmix64 hash probes ~1 slot on average at load <= 0.5. Sentinel keys
+// are unreachable: real keys pack two symbol ids < 2^31.
+struct PairMap {
+  static constexpr uint64_t EMPTY = ~0ull;
+  static constexpr uint64_t TOMB = ~0ull - 1;
+  std::vector<uint64_t> keys;
+  std::vector<PairRec> vals;
+  size_t mask = 0;
+  size_t n_live = 0;
+  size_t n_used = 0;  // live + tombstones
+
+  static inline size_t hashk(uint64_t k) {
+    k += 0x9e3779b97f4a7c15ull;
+    k = (k ^ (k >> 30)) * 0xbf58476d1ce4e5b9ull;
+    k = (k ^ (k >> 27)) * 0x94d049bb133111ebull;
+    return (size_t)(k ^ (k >> 31));
+  }
+
+  void reset(size_t cap_hint) {
+    size_t cap = 64;
+    while (cap < cap_hint * 2) cap <<= 1;
+    keys.assign(cap, EMPTY);
+    vals.clear();
+    vals.resize(cap);
+    mask = cap - 1;
+    n_live = n_used = 0;
+  }
+
+  PairRec* find(uint64_t k) {
+    size_t i = hashk(k) & mask;
+    while (true) {
+      uint64_t kk = keys[i];
+      if (kk == k) return &vals[i];
+      if (kk == EMPTY) return nullptr;
+      i = (i + 1) & mask;
+    }
+  }
+
+  PairRec& get_or_insert(uint64_t k) {
+    if ((n_used + 1) * 2 > keys.size()) rehash();
+    size_t i = hashk(k) & mask;
+    size_t tomb = SIZE_MAX;
+    while (true) {
+      uint64_t kk = keys[i];
+      if (kk == k) return vals[i];
+      if (kk == EMPTY) {
+        if (tomb != SIZE_MAX) {
+          i = tomb;  // reuse the first tombstone on the probe path
+        } else {
+          ++n_used;
+        }
+        keys[i] = k;
+        ++n_live;
+        vals[i] = PairRec{};
+        return vals[i];
+      }
+      if (kk == TOMB && tomb == SIZE_MAX) tomb = i;
+      i = (i + 1) & mask;
+    }
+  }
+
+  void erase(uint64_t k) {
+    size_t i = hashk(k) & mask;
+    while (true) {
+      uint64_t kk = keys[i];
+      if (kk == k) {
+        keys[i] = TOMB;
+        vals[i] = PairRec{};  // free the words vector
+        --n_live;
+        return;
+      }
+      if (kk == EMPTY) return;
+      i = (i + 1) & mask;
+    }
+  }
+
+  void rehash() {
+    std::vector<uint64_t> old_keys;
+    std::vector<PairRec> old_vals;
+    old_keys.swap(keys);
+    old_vals.swap(vals);
+    size_t cap = old_keys.size();
+    if (n_live * 4 > cap) cap <<= 1;  // grow only when genuinely full
+    keys.assign(cap, EMPTY);
+    vals.clear();
+    vals.resize(cap);
+    mask = cap - 1;
+    n_used = n_live;
+    for (size_t j = 0; j < old_keys.size(); ++j) {
+      uint64_t k = old_keys[j];
+      if (k == EMPTY || k == TOMB) continue;
+      size_t i = hashk(k) & mask;
+      while (keys[i] != EMPTY) i = (i + 1) & mask;
+      keys[i] = k;
+      vals[i] = std::move(old_vals[j]);
+    }
+  }
+
+  template <typename F>
+  void for_each(F f) const {
+    for (size_t i = 0; i < keys.size(); ++i) {
+      if (keys[i] != EMPTY && keys[i] != TOMB) f(keys[i], vals[i]);
+    }
+  }
 };
 
 struct Trainer {
@@ -723,7 +833,7 @@ struct Trainer {
   std::unordered_map<std::string, int32_t> sym_of;
   std::vector<std::vector<int32_t>> words;
   std::vector<int64_t> counts;
-  std::unordered_map<uint64_t, PairRec> pairs;
+  PairMap pairs;
   std::vector<std::array<int32_t, 2>> merges;  // (left_sym, right_sym)
   // Lazy max-heap over (count, lex-greatest pair); entries go stale when a
   // pair's count changes and are dropped on pop (validity = count match).
@@ -773,7 +883,7 @@ void add_word_pairs(Trainer& t, int32_t wi, int64_t f, bool heap_live) {
   const std::vector<int32_t>& w = t.words[wi];
   for (size_t j = 0; j + 1 < w.size(); ++j) {
     uint64_t key = pkey(w[j], w[j + 1]);
-    PairRec& rec = t.pairs[key];
+    PairRec& rec = t.pairs.get_or_insert(key);
     rec.count += f;
     if (rec.words.empty() || rec.words.back() != wi) rec.words.push_back(wi);
     if (heap_live) heap_push(t, key, rec.count);
@@ -790,6 +900,7 @@ void* yabpe_train(const uint8_t* words_blob, const int32_t* word_lens,
                   const int64_t* word_counts, int64_t n_words,
                   int32_t num_merges, int64_t min_frequency) {
   Trainer* t = new Trainer();
+  t->pairs.reset((size_t)n_words);  // grows as needed
   t->sym_bytes.reserve(256 + (size_t)num_merges);
   for (int b = 0; b < 256; ++b) {
     t->sym_bytes.emplace_back(1, (char)(uint8_t)b);
@@ -809,12 +920,13 @@ void* yabpe_train(const uint8_t* words_blob, const int32_t* word_lens,
     add_word_pairs(*t, (int32_t)i, t->counts[(size_t)i], false);
   }
   // Bulk-build the selection heap: one fresh entry per pair, O(P).
-  t->heap.reserve(t->pairs.size() * 2);
-  for (const auto& kv : t->pairs) {
-    t->heap.push_back({kv.second.count, kv.first});
-  }
+  t->heap.reserve(t->pairs.n_live * 2);
+  t->pairs.for_each([&](uint64_t key, const PairRec& rec) {
+    t->heap.push_back({rec.count, key});
+  });
   std::make_heap(t->heap.begin(), t->heap.end(), HeapLess{t});
 
+  std::vector<uint64_t> dirty_scratch;
   for (int32_t m = 0; m < num_merges; ++m) {
     // argmax (count, lex-greatest pair) via the lazy heap: pop until the
     // top entry's count matches the pair's live count. The ordering is
@@ -824,9 +936,8 @@ void* yabpe_train(const uint8_t* words_blob, const int32_t* word_lens,
     int64_t best_count = 0;
     while (!t->heap.empty()) {
       const HeapEntry top = t->heap.front();
-      auto pit = t->pairs.find(top.key);
-      if (pit != t->pairs.end() && pit->second.count == top.count &&
-          top.count > 0) {
+      PairRec* pit = t->pairs.find(top.key);
+      if (pit != nullptr && pit->count == top.count && top.count > 0) {
         have = true;
         best = top.key;
         best_count = top.count;
@@ -851,9 +962,15 @@ void* yabpe_train(const uint8_t* words_blob, const int32_t* word_lens,
     }
     t->merges.push_back({a, b});
 
-    // Apply to affected words; update pair counts incrementally.
+    // Apply to affected words; update pair counts incrementally. Heap
+    // refreshes are coalesced: a pair's count may change once per affected
+    // word, but it gets exactly ONE fresh heap entry per merge iteration
+    // (collected in `dirty`, flushed below) — pushing on every change made
+    // heap sifts ~70% of training time (gprof, realistic 5 MB corpus).
+    std::vector<uint64_t>& dirty = dirty_scratch;
+    dirty.clear();
     std::vector<int32_t> affected;
-    affected.swap(t->pairs[best].words);
+    affected.swap(t->pairs.find(best)->words);
     t->pairs.erase(best);
     for (int32_t wi : affected) {
       std::vector<int32_t>& w = t->words[(size_t)wi];
@@ -870,16 +987,17 @@ void* yabpe_train(const uint8_t* words_blob, const int32_t* word_lens,
       if (first == SIZE_MAX) continue;
       int64_t f = t->counts[(size_t)wi];
       size_t lo = first > 0 ? first - 1 : 0;
-      // decrement old pairs in the affected window (refresh heap entries)
+      // decrement old pairs in the affected window (mark dirty)
       for (size_t j = lo; j + 1 < w.size(); ++j) {
         uint64_t key = pkey(w[j], w[j + 1]);
-        auto pit = t->pairs.find(key);
-        if (pit != t->pairs.end()) {
-          pit->second.count -= f;
-          if (pit->second.count <= 0) {
-            t->pairs.erase(pit);
-          } else {
-            heap_push(*t, key, pit->second.count);
+        PairRec* pit = t->pairs.find(key);
+        if (pit != nullptr) {
+          pit->count -= f;
+          if (pit->count <= 0) {
+            t->pairs.erase(key);
+          } else if (pit->gen != m) {
+            pit->gen = m;
+            dirty.push_back(key);
           }
         }
       }
@@ -897,12 +1015,24 @@ void* yabpe_train(const uint8_t* words_blob, const int32_t* word_lens,
       // increment new pairs in the affected window (and index the word)
       for (size_t j2 = lo; j2 + 1 < w.size(); ++j2) {
         uint64_t key = pkey(w[j2], w[j2 + 1]);
-        PairRec& rec = t->pairs[key];
+        PairRec& rec = t->pairs.get_or_insert(key);
         rec.count += f;
         if (rec.words.empty() || rec.words.back() != wi) {
           rec.words.push_back(wi);
         }
-        heap_push(*t, key, rec.count);
+        if (rec.gen != m) {
+          rec.gen = m;
+          dirty.push_back(key);
+        }
+      }
+    }
+    // One heap entry per touched, still-live pair with its final count.
+    // (A pair erased then re-created within this merge can appear twice in
+    // `dirty`; the duplicate entry is harmless — pop validation drops it.)
+    for (uint64_t key : dirty) {
+      PairRec* pit = t->pairs.find(key);
+      if (pit != nullptr && pit->count > 0) {
+        heap_push(*t, key, pit->count);
       }
     }
   }
