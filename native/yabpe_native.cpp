@@ -31,6 +31,10 @@
 #include <string.h>
 #include <stdlib.h>
 
+#ifdef __linux__
+#include <sys/mman.h>
+#endif
+
 #include <algorithm>
 #include <array>
 #include <mutex>
@@ -207,65 +211,145 @@ int64_t next_token_end(const uint8_t* text, int64_t n, int64_t i,
 // for word bytes, insertion-ordered entries for deterministic export.
 // ---------------------------------------------------------------------------
 
-struct Entry {
-  int64_t offset;  // into arena
-  int32_t len;
-  int64_t count;
+// One open-addressing slot, 32 bytes and aligned so a probe costs exactly
+// one memory access (two slots per cache line). Word identity is held
+// inline: w8/w16 are injective packings of the first/second 8 bytes given
+// len (see pack_word8), so words of <= 16 bytes never touch the arena on
+// lookup; longer words memcmp their tail. Counts live in a separate
+// order-indexed array (dense, ~8B per unique word, so L2/L3-resident)
+// rather than in the slot — a count update is then a near-cache access
+// instead of widening the randomly-probed table. len == 0 marks empty.
+struct alignas(32) Slot {
+  uint64_t w8;
+  uint64_t w16;
+  uint32_t offset_lo;  // arena offset, split to keep the slot at 32B
+  uint32_t len;
+  uint32_t order;  // insertion index (export order, word_ids id)
+  uint32_t offset_hi;
 };
 
+inline int64_t slot_offset(const Slot& sl) {
+  return (int64_t)(((uint64_t)sl.offset_hi << 32) | sl.offset_lo);
+}
+
 struct Counter {
-  // hash table of indices into `entries` (-1 empty)
-  int64_t* slots = nullptr;
+  Slot* slots = nullptr;
   size_t cap = 0;  // power of two
-  Entry* entries = nullptr;
-  size_t n_entries = 0;
-  size_t entries_cap = 0;
+  std::vector<uint32_t> order_to_slot;
+  std::vector<int64_t> counts;  // indexed by order
   uint8_t* arena = nullptr;
   size_t arena_len = 0;
   size_t arena_cap = 0;
 
+  size_t n_entries() const { return order_to_slot.size(); }
+
   ~Counter() {
     free(slots);
-    free(entries);
     free(arena);
   }
 };
 
-uint64_t fnv1a(const uint8_t* p, int32_t len) {
-  uint64_t h = 1469598103934665603ull;
-  for (int32_t i = 0; i < len; ++i) {
-    h ^= p[i];
-    h *= 1099511628211ull;
+inline uint64_t mix64(uint64_t x) {
+  x ^= x >> 33;
+  x *= 0xff51afd7ed558ccdull;
+  x ^= x >> 33;
+  x *= 0xc4ceb9fe1a85ec53ull;
+  x ^= x >> 33;
+  return x;
+}
+
+// Pack a word's identity into 8 bytes. For len <= 8 the packing is
+// INJECTIVE given len (wyhash-style overlapping reads: the chosen byte
+// positions cover every index), so (len, w8) equality IS byte equality and
+// the hot probe never touches the arena. For len > 8 it's the first 8
+// bytes; the tail is memcmp'd.
+inline uint64_t pack_word8(const uint8_t* p, int32_t len) {
+  if (len >= 8) {
+    uint64_t v;
+    memcpy(&v, p, 8);
+    return v;
   }
-  return h;
+  if (len >= 4) {
+    uint32_t a, b;
+    memcpy(&a, p, 4);
+    memcpy(&b, p + len - 4, 4);
+    return (uint64_t)a | ((uint64_t)b << 32);
+  }
+  // len 1..3: positions 0, len/2, len-1 cover all bytes
+  return (uint64_t)p[0] | ((uint64_t)p[len >> 1] << 8) |
+         ((uint64_t)p[len - 1] << 16);
+}
+
+inline uint64_t pack_w16(const uint8_t* p, int32_t len) {
+  if (len <= 8) return 0;
+  if (len >= 16) {
+    uint64_t v;
+    memcpy(&v, p + 8, 8);
+    return v;
+  }
+  return pack_word8(p + 8, len - 8);
+}
+
+// Hash over the full word: tail below points at word+16 (only read when
+// len > 16).
+inline uint64_t hash_wkey(uint64_t w8, uint64_t w16, const uint8_t* tail,
+                          int32_t len) {
+  uint64_t h = w8 ^ ((uint64_t)(uint32_t)len * 0x9E3779B97F4A7C15ull);
+  if (len > 8) h = mix64(h ^ w16);
+  for (int32_t i = 16; i < len; i += 8) {
+    int32_t nb = len - i < 8 ? len - i : 8;
+    uint64_t block = 0;
+    memcpy(&block, tail + (i - 16), (size_t)nb);
+    h = mix64(h ^ block);
+  }
+  return mix64(h);
+}
+
+Slot* alloc_slots(size_t cap) {
+  size_t bytes = cap * sizeof(Slot);
+  Slot* p = (Slot*)aligned_alloc(64, bytes);
+#ifdef __linux__
+  // Fault via huge pages where possible: ~10x cheaper first touch on
+  // lazily-provisioned hosts (see yabpe_tpu.utils.hostmem).
+  if (bytes >= (2u << 20)) madvise(p, bytes, MADV_HUGEPAGE);
+#endif
+  memset(p, 0, bytes);
+  return p;
 }
 
 void counter_grow(Counter* c) {
   size_t ncap = c->cap ? c->cap * 2 : 1 << 16;
-  int64_t* nslots = (int64_t*)malloc(ncap * sizeof(int64_t));
-  memset(nslots, 0xFF, ncap * sizeof(int64_t));
-  for (size_t e = 0; e < c->n_entries; ++e) {
-    uint64_t h = fnv1a(c->arena + c->entries[e].offset, c->entries[e].len);
-    size_t s = h & (ncap - 1);
-    while (nslots[s] >= 0) s = (s + 1) & (ncap - 1);
-    nslots[s] = (int64_t)e;
+  Slot* nslots = alloc_slots(ncap);
+  for (size_t i = 0; i < c->cap; ++i) {
+    Slot& sl = c->slots[i];
+    if (!sl.len) continue;
+    uint64_t h = hash_wkey(sl.w8, sl.w16, c->arena + slot_offset(sl) + 16,
+                           (int32_t)sl.len);
+    size_t j = h & (ncap - 1);
+    while (nslots[j].len) j = (j + 1) & (ncap - 1);
+    nslots[j] = sl;
+    c->order_to_slot[sl.order] = (uint32_t)j;
   }
   free(c->slots);
   c->slots = nslots;
   c->cap = ncap;
 }
 
-// Returns the entry index of the word (inserting it if new).
-int64_t counter_add_word(Counter* c, const uint8_t* word, int32_t len,
-                         int64_t count) {
-  if (c->n_entries * 2 >= c->cap) counter_grow(c);
-  uint64_t h = fnv1a(word, len);
+// Find-or-insert with precomputed identity/hash; returns the insertion
+// order id.
+int64_t counter_upsert(Counter* c, const uint8_t* word, int32_t len,
+                       int64_t count, uint64_t w8, uint64_t w16,
+                       uint64_t h) {
+  if ((c->n_entries() + 1) * 2 > c->cap) counter_grow(c);
   size_t s = h & (c->cap - 1);
-  while (c->slots[s] >= 0) {
-    Entry* e = &c->entries[c->slots[s]];
-    if (e->len == len && memcmp(c->arena + e->offset, word, len) == 0) {
-      e->count += count;
-      return c->slots[s];
+  while (c->slots[s].len) {
+    Slot& sl = c->slots[s];
+    if (sl.len == (uint32_t)len && sl.w8 == w8 && sl.w16 == w16 &&
+        (len <= 16 ||
+         memcmp(c->arena + slot_offset(sl) + 16, word + 16,
+                (size_t)(len - 16)) == 0)) {
+      c->counts[sl.order] += count;
+      return (int64_t)sl.order;
     }
     s = (s + 1) & (c->cap - 1);
   }
@@ -275,18 +359,72 @@ int64_t counter_add_word(Counter* c, const uint8_t* word, int32_t len,
     c->arena = (uint8_t*)realloc(c->arena, ncap);
     c->arena_cap = ncap;
   }
-  if (c->n_entries == c->entries_cap) {
-    c->entries_cap = c->entries_cap ? c->entries_cap * 2 : 1 << 14;
-    c->entries = (Entry*)realloc(c->entries, c->entries_cap * sizeof(Entry));
-  }
   memcpy(c->arena + c->arena_len, word, len);
-  Entry* e = &c->entries[c->n_entries];
-  e->offset = (int64_t)c->arena_len;
-  e->len = len;
-  e->count = count;
+  Slot& sl = c->slots[s];
+  sl.w8 = w8;
+  sl.w16 = w16;
+  sl.offset_lo = (uint32_t)(c->arena_len & 0xFFFFFFFFu);
+  sl.offset_hi = (uint32_t)(c->arena_len >> 32);
+  sl.len = (uint32_t)len;
+  sl.order = (uint32_t)c->order_to_slot.size();
   c->arena_len += (size_t)len;
-  c->slots[s] = (int64_t)c->n_entries;
-  return (int64_t)c->n_entries++;
+  c->order_to_slot.push_back((uint32_t)s);
+  c->counts.push_back(count);
+  return (int64_t)sl.order;
+}
+
+// Returns the entry index of the word (inserting it if new).
+int64_t counter_add_word(Counter* c, const uint8_t* word, int32_t len,
+                         int64_t count) {
+  uint64_t w8 = pack_word8(word, len);
+  uint64_t w16 = pack_w16(word, len);
+  uint64_t h = hash_wkey(w8, w16, word + 16, len);
+  return counter_upsert(c, word, len, count, w8, w16, h);
+}
+
+// Batched scan+count: pre-tokenize `text`, computing identities and
+// prefetching each token's first probe slot a batch ahead so the table
+// misses overlap (memory-level parallelism — the tail of a large unique
+// set is DRAM-latency-bound, ~134 ns/access on this host when chased
+// serially). Writes per-occurrence order ids when out_ids != nullptr
+// (id_base + running count indexes out_ids); returns the token count.
+constexpr int kScanBatch = 32;
+
+int64_t batch_scan_count(Counter* c, const uint8_t* text, int64_t n,
+                         const Special* specials, int32_t n_specials,
+                         int32_t* out_ids, int64_t cap, int64_t id_base) {
+  struct Pend {
+    int64_t start;
+    int32_t len;
+    uint64_t w8, w16, h;
+  };
+  Pend pend[kScanBatch];
+  int64_t i = 0, count = 0;
+  while (i < n) {
+    int nb = 0;
+    size_t mask = c->cap ? c->cap - 1 : 0;
+    while (nb < kScanBatch && i < n) {
+      int64_t e = next_token_end(text, n, i, specials, n_specials);
+      Pend& t = pend[nb++];
+      t.start = i;
+      t.len = (int32_t)(e - i);
+      const uint8_t* p = text + i;
+      t.w8 = pack_word8(p, t.len);
+      t.w16 = pack_w16(p, t.len);
+      t.h = hash_wkey(t.w8, t.w16, p + 16, t.len);
+      if (c->slots) __builtin_prefetch(&c->slots[t.h & mask]);
+      i = e;
+    }
+    for (int k = 0; k < nb; ++k) {
+      const Pend& t = pend[k];
+      int64_t id = counter_upsert(c, text + t.start, t.len, 1, t.w8, t.w16,
+                                  t.h);
+      int64_t pos = id_base + count;
+      if (pos < cap && out_ids) out_ids[pos] = (int32_t)id;
+      ++count;
+    }
+  }
+  return count;
 }
 
 }  // namespace
@@ -369,15 +507,7 @@ int64_t yabpe_pretok_offsets(const uint8_t* text, int64_t n, int32_t* ends,
 int64_t yabpe_pretok_word_ids(void* h, const uint8_t* text, int64_t n,
                               int32_t* out_ids, int64_t cap) {
   Counter* c = (Counter*)h;
-  int64_t i = 0, count = 0;
-  while (i < n) {
-    int64_t e = next_token_end(text, n, i, nullptr, 0);
-    int64_t id = counter_add_word(c, text + i, (int32_t)(e - i), 1);
-    if (count < cap) out_ids[count] = (int32_t)id;
-    ++count;
-    i = e;
-  }
-  return count;
+  return batch_scan_count(c, text, n, nullptr, 0, out_ids, cap, 0);
 }
 
 // Combined tokenizer-dialect pass: split on specials (caller passes them
@@ -426,16 +556,8 @@ int64_t yabpe_pretok_word_ids_specials(void* h, const uint8_t* text,
       }
     }
     // Flush the plain segment [seg_start, i) with end-of-buffer semantics.
-    const uint8_t* seg = text + seg_start;
-    int64_t seg_len = i - seg_start;
-    int64_t p = 0;
-    while (p < seg_len) {
-      int64_t e = next_token_end(seg, seg_len, p, nullptr, 0);
-      int64_t id = counter_add_word(c, seg + p, (int32_t)(e - p), 1);
-      if (count < cap) out_ids[count] = (int32_t)id;
-      ++count;
-      p = e;
-    }
+    count += batch_scan_count(c, text + seg_start, i - seg_start, nullptr, 0,
+                              out_ids, cap, count);
     if (i >= n) break;
     if (count < cap) out_ids[count] = -(1 + hit);
     ++count;
@@ -506,12 +628,7 @@ void yabpe_counter_add(void* h, const uint8_t* text, int64_t n,
     specials[s].len = special_lens[s];
     off += special_lens[s];
   }
-  int64_t i = 0;
-  while (i < n) {
-    int64_t e = next_token_end(text, n, i, specials, n_specials);
-    counter_add_word(c, text + i, (int32_t)(e - i), 1);
-    i = e;
-  }
+  batch_scan_count(c, text, n, specials, n_specials, nullptr, 0, 0);
 }
 
 // Merge src into dst (src unchanged). Lets the driver fold per-chunk
@@ -519,14 +636,32 @@ void yabpe_counter_add(void* h, const uint8_t* text, int64_t n,
 void yabpe_counter_merge(void* dst, const void* src) {
   Counter* d = (Counter*)dst;
   const Counter* s = (const Counter*)src;
-  for (size_t e = 0; e < s->n_entries; ++e) {
-    counter_add_word(d, s->arena + s->entries[e].offset, s->entries[e].len,
-                     s->entries[e].count);
+  // Prefetch destination probe slots a batch ahead (same MLP rationale as
+  // batch_scan_count); identities/hashes are already in src slots.
+  constexpr int B = kScanBatch;
+  const Slot* pend[B];
+  uint64_t hs[B];
+  size_t total = s->n_entries();
+  for (size_t base = 0; base < total; base += B) {
+    size_t nb = total - base < (size_t)B ? total - base : (size_t)B;
+    size_t mask = d->cap ? d->cap - 1 : 0;
+    for (size_t k = 0; k < nb; ++k) {
+      const Slot& sl = s->slots[s->order_to_slot[base + k]];
+      pend[k] = &sl;
+      hs[k] = hash_wkey(sl.w8, sl.w16, s->arena + slot_offset(sl) + 16,
+                        (int32_t)sl.len);
+      if (d->slots) __builtin_prefetch(&d->slots[hs[k] & mask]);
+    }
+    for (size_t k = 0; k < nb; ++k) {
+      const Slot& sl = *pend[k];
+      counter_upsert(d, s->arena + slot_offset(sl), (int32_t)sl.len,
+                     s->counts[sl.order], sl.w8, sl.w16, hs[k]);
+    }
   }
 }
 
 int64_t yabpe_counter_unique(const void* h) {
-  return (int64_t)((const Counter*)h)->n_entries;
+  return (int64_t)((const Counter*)h)->n_entries();
 }
 
 int64_t yabpe_counter_total_bytes(const void* h) {
@@ -540,9 +675,10 @@ void yabpe_counter_export(const void* h, uint8_t* words, int32_t* lens,
                           int64_t* counts) {
   const Counter* c = (const Counter*)h;
   memcpy(words, c->arena, c->arena_len);
-  for (size_t e = 0; e < c->n_entries; ++e) {
-    lens[e] = c->entries[e].len;
-    counts[e] = c->entries[e].count;
+  for (size_t e = 0; e < c->n_entries(); ++e) {
+    const Slot& sl = c->slots[c->order_to_slot[e]];
+    lens[e] = (int32_t)sl.len;
+    counts[e] = c->counts[e];
   }
 }
 

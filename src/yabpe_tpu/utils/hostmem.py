@@ -26,6 +26,7 @@ import threading
 
 _M_TRIM_THRESHOLD = -1
 _M_MMAP_MAX = -4
+_M_ARENA_MAX = -8
 _MADV_HUGEPAGE = 14
 _HUGE_PAGE = 2 * 1024 * 1024
 
@@ -60,6 +61,11 @@ def tune_malloc() -> bool:
             return False
         libc.mallopt(_M_MMAP_MAX, 0)
         libc.mallopt(_M_TRIM_THRESHOLD, 1 << 31)
+        # Single arena: worker threads reuse the main arena's already-
+        # faulted pages instead of growing private mmap'd heaps. Our hot
+        # paths allocate rarely (tables grow by doubling), so arena lock
+        # contention is negligible.
+        libc.mallopt(_M_ARENA_MAX, 1)
         _tuned = True
         return True
 
