@@ -973,7 +973,14 @@ struct Trainer {
   std::vector<std::array<int32_t, 2>> merges;  // (left_sym, right_sym)
   // Lazy max-heap over (count, lex-greatest pair); entries go stale when a
   // pair's count changes and are dropped on pop (validity = count match).
+  // THRESHOLDED: only pairs with count >= heap_min are pushed, which keeps
+  // the heap cache-sized (a full heap over millions of pairs is
+  // DRAM-latency-bound: ~1.3us per sift measured). Every live pair whose
+  // count is or becomes >= heap_min has a current entry, so the valid top
+  // is the exact global argmax; when the heap runs dry, it is rebuilt from
+  // the pair map with a lower threshold.
   std::vector<HeapEntry> heap;
+  int64_t heap_min = 1;
 };
 
 uint64_t prefix_key(const std::string& s) {
@@ -1011,8 +1018,37 @@ struct HeapLess {
 };
 
 void heap_push(Trainer& t, uint64_t key, int64_t count) {
+  if (count < t.heap_min) return;
   t.heap.push_back({count, key});
   std::push_heap(t.heap.begin(), t.heap.end(), HeapLess{&t});
+}
+
+// Rebuild the selection heap from the live pair map, choosing the largest
+// threshold (>= floor) that still admits ~`target` entries. One linear
+// pass to histogram counts, one to collect.
+void heap_rebuild(Trainer& t, size_t target, int64_t floor_min) {
+  // Exponential histogram of live counts (bucket = bit width) picks the
+  // threshold cheaply without sorting.
+  size_t by_bits[64] = {0};
+  t.pairs.for_each([&](uint64_t, const PairRec& rec) {
+    if (rec.count > 0) ++by_bits[63 - __builtin_clzll((uint64_t)rec.count)];
+  });
+  int64_t thr = floor_min;
+  size_t admitted = 0;
+  for (int b = 63; b >= 0; --b) {
+    admitted += by_bits[b];
+    if (admitted >= target) {
+      thr = (int64_t)1 << b;  // every count in bucket b is >= 2^b
+      break;
+    }
+  }
+  if (thr < floor_min) thr = floor_min;
+  t.heap_min = thr;
+  t.heap.clear();
+  t.pairs.for_each([&](uint64_t key, const PairRec& rec) {
+    if (rec.count >= thr) t.heap.push_back({rec.count, key});
+  });
+  std::make_heap(t.heap.begin(), t.heap.end(), HeapLess{&t});
 }
 
 void add_word_pairs(Trainer& t, int32_t wi, int64_t f, bool heap_live) {
@@ -1055,34 +1091,47 @@ void* yabpe_train(const uint8_t* words_blob, const int32_t* word_lens,
     off += word_lens[i];
     add_word_pairs(*t, (int32_t)i, t->counts[(size_t)i], false);
   }
-  // Bulk-build the selection heap: one fresh entry per pair, O(P).
-  t->heap.reserve(t->pairs.n_live * 2);
-  t->pairs.for_each([&](uint64_t key, const PairRec& rec) {
-    t->heap.push_back({rec.count, key});
-  });
-  std::make_heap(t->heap.begin(), t->heap.end(), HeapLess{t});
+  // Bulk-build the thresholded selection heap (see heap_rebuild): sized to
+  // a multiple of the remaining merges so sifts stay in cache.
+  int64_t floor_min = min_frequency > 1 ? min_frequency : 1;
+  const size_t kHeapTarget = 1 << 16;
+  heap_rebuild(*t, (size_t)num_merges * 2 + kHeapTarget, floor_min);
 
   std::vector<uint64_t> dirty_scratch;
   for (int32_t m = 0; m < num_merges; ++m) {
     // argmax (count, lex-greatest pair) via the lazy heap: pop until the
     // top entry's count matches the pair's live count. The ordering is
-    // total, so the winner is deterministic.
+    // total, so the winner is deterministic. An empty heap only proves no
+    // live pair has count >= heap_min; lower the threshold and rebuild
+    // until heap_min hits the min_frequency floor.
     bool have = false;
     uint64_t best = 0;
     int64_t best_count = 0;
-    while (!t->heap.empty()) {
-      const HeapEntry top = t->heap.front();
-      PairRec* pit = t->pairs.find(top.key);
-      if (pit != nullptr && pit->count == top.count && top.count > 0) {
-        have = true;
-        best = top.key;
-        best_count = top.count;
-        break;
+    while (true) {
+      while (!t->heap.empty()) {
+        const HeapEntry top = t->heap.front();
+        PairRec* pit = t->pairs.find(top.key);
+        if (pit != nullptr && pit->count == top.count && top.count > 0) {
+          have = true;
+          best = top.key;
+          best_count = top.count;
+          break;
+        }
+        std::pop_heap(t->heap.begin(), t->heap.end(), HeapLess{t});
+        t->heap.pop_back();  // stale entry
       }
-      std::pop_heap(t->heap.begin(), t->heap.end(), HeapLess{t});
-      t->heap.pop_back();  // stale entry
+      if (have || t->heap_min <= floor_min) break;
+      int64_t lowered = t->heap_min / 8;
+      t->heap_min = lowered > floor_min ? lowered : floor_min;
+      heap_rebuild(*t, (size_t)(num_merges - m) * 2 + kHeapTarget,
+                   t->heap_min);
     }
     if (!have || best_count < min_frequency) break;
+    // Periodic stale purge: keeps the heap's working set cache-sized.
+    if (t->heap.size() > 8 * ((size_t)(num_merges - m) * 2 + kHeapTarget)) {
+      heap_rebuild(*t, (size_t)(num_merges - m) * 2 + kHeapTarget,
+                   t->heap_min);
+    }
 
     int32_t a = (int32_t)(best >> 32), b = (int32_t)(best & 0xFFFFFFFF);
     std::string merged = t->sym_bytes[(size_t)a] + t->sym_bytes[(size_t)b];
