@@ -52,6 +52,53 @@ def test_roundtrip(tok, text):
     assert tok.decode(tok.encode(text)) == text
 
 
+def test_empty_init():
+    """No-argument construction (reference test_tokenizer.py:19-24)."""
+    t = BBPETokenizer()
+    assert t.vocab_size == 0
+    assert t.special_tokens == []
+    assert t.encode("") == []
+    assert t.decode([]) == ""
+
+
+def test_init_with_vocab_only():
+    """Vocab-only construction (reference test_tokenizer.py:26-40)."""
+    t = BBPETokenizer(vocab={b"a": 0, b"b": 1, b"ab": 2})
+    assert t.vocab_size == 3
+    assert t.get_vocab() == {"a": 0, "b": 1, "ab": 2}
+    t2 = BBPETokenizer(vocab={b"a": 0, b"b": 1, b"ab": 2}, merges=[(b"a", b"b")])
+    assert t2.vocab_size == 3
+
+
+def test_init_with_special_tokens_only():
+    """Specials-only construction (reference test_tokenizer.py:42-48)."""
+    t = BBPETokenizer(special_tokens=["[PAD]", "[UNK]"])
+    assert t.special_tokens == ["[PAD]", "[UNK]"]
+
+
+def test_from_file_nonexistent_directory():
+    """Reference test_tokenizer.py:129-133."""
+    with pytest.raises(FileNotFoundError):
+        BBPETokenizer.from_file("/nonexistent/path")
+
+
+def test_decode_edge_cases(tok):
+    """Empty list, single token, invalid-id-only list (reference
+    test_tokenizer.py:221-249)."""
+    assert tok.decode([]) == ""
+    some_id = tok.encode("a")[0]
+    assert tok.decode([some_id]) == "a"
+    bogus = [tok.vocab_size + 7, tok.vocab_size + 8]
+    assert tok.decode(bogus) == ""
+
+
+def test_batch_empty_inputs(tok):
+    """Empty batches (reference test_tokenizer.py:339-370)."""
+    assert tok.encode_batch([]) == []
+    assert tok.decode_batch([]) == []
+    assert tok.encode_batch([""]) == [[]]
+
+
 def test_special_token_roundtrip(tok):
     text = "story one<|endoftext|>story two<|endoftext|>"
     ids = tok.encode(text)
