@@ -710,8 +710,12 @@ struct EncEntry {
 struct Encoder {
   std::unordered_map<uint64_t, EncEntry> live;  // (l<<32|r) -> rank,new_sym
   std::vector<int32_t> out_ids;                 // sym -> vocab id
-  // word cache: bytes -> encoded vocab ids
-  std::unordered_map<std::string, std::vector<int32_t>> cache;
+  // Word cache on the Counter's flat identity table: word -> dense order
+  // id (one prefetchable probe per occurrence), encodings appended once
+  // per unique word to a flat id pool indexed by order.
+  Counter words;
+  std::vector<int64_t> enc_off;   // order -> enc_flat start; size n+1
+  std::vector<int32_t> enc_flat;  // concatenated per-word vocab ids
   int64_t hits = 0;
   int64_t misses = 0;
   std::vector<int32_t> syms;  // scratch
@@ -720,16 +724,10 @@ struct Encoder {
   std::mutex mu;
 };
 
-// Encode one pre-token (bytes) into vocab ids, using/filling the cache.
-const std::vector<int32_t>& encode_word(Encoder& e, const uint8_t* w,
-                                        int32_t len) {
-  std::string key((const char*)w, (size_t)len);
-  auto it = e.cache.find(key);
-  if (it != e.cache.end()) {
-    ++e.hits;
-    return it->second;
-  }
-  ++e.misses;
+// BPE-encode one pre-token's bytes into e.syms (lowest-rank pair, all
+// leftmost-non-overlapping occurrences per iteration — equivalent to the
+// reference's heap loop, see yabpe_tpu.tok.tokenizer module docs).
+void bpe_word(Encoder& e, const uint8_t* w, int32_t len) {
   std::vector<int32_t>& syms = e.syms;
   syms.clear();
   for (int32_t i = 0; i < len; ++i) syms.push_back(w[i]);
@@ -758,10 +756,64 @@ const std::vector<int32_t>& encode_word(Encoder& e, const uint8_t* w,
     }
     syms.resize(k);
   }
-  std::vector<int32_t> ids;
-  ids.reserve(syms.size());
-  for (int32_t s : syms) ids.push_back(e.out_ids[(size_t)s]);
-  return e.cache.emplace(std::move(key), std::move(ids)).first->second;
+}
+
+// Compute and pool the encoding for the word with dense id `order` (must
+// be the next unpooled order).
+void encode_new_word(Encoder& e, int64_t order) {
+  const Slot& sl = e.words.slots[e.words.order_to_slot[(size_t)order]];
+  bpe_word(e, e.words.arena + slot_offset(sl), (int32_t)sl.len);
+  for (int32_t sym : e.syms) {
+    e.enc_flat.push_back(e.out_ids[(size_t)sym]);
+  }
+  e.enc_off.push_back((int64_t)e.enc_flat.size());
+  ++e.misses;
+}
+
+// Batched pretok + cache-probe + emit over one special-free segment
+// (same MLP batching rationale as batch_scan_count).
+int64_t encode_seg_batched(Encoder& e, const uint8_t* seg, int64_t seg_len,
+                           int32_t* out, int64_t cap, int64_t written) {
+  struct Pend {
+    int64_t start;
+    int32_t len;
+    uint64_t w8, w16, h;
+  };
+  Pend pend[kScanBatch];
+  Counter* c = &e.words;
+  int64_t i = 0;
+  while (i < seg_len) {
+    int nb = 0;
+    size_t mask = c->cap ? c->cap - 1 : 0;
+    while (nb < kScanBatch && i < seg_len) {
+      int64_t end = next_token_end(seg, seg_len, i, nullptr, 0);
+      Pend& t = pend[nb++];
+      t.start = i;
+      t.len = (int32_t)(end - i);
+      const uint8_t* p = seg + i;
+      t.w8 = pack_word8(p, t.len);
+      t.w16 = pack_w16(p, t.len);
+      t.h = hash_wkey(t.w8, t.w16, p + 16, t.len);
+      if (c->slots) __builtin_prefetch(&c->slots[t.h & mask]);
+      i = end;
+    }
+    for (int k = 0; k < nb; ++k) {
+      const Pend& t = pend[k];
+      int64_t id = counter_upsert(c, seg + t.start, t.len, 1, t.w8, t.w16,
+                                  t.h);
+      if ((size_t)id + 1 >= e.enc_off.size()) {
+        encode_new_word(e, id);
+      } else {
+        ++e.hits;
+      }
+      int64_t b = e.enc_off[(size_t)id], f = e.enc_off[(size_t)id + 1];
+      for (int64_t x = b; x < f; ++x) {
+        if (written < cap) out[written] = e.enc_flat[(size_t)x];
+        ++written;
+      }
+    }
+  }
+  return written;
 }
 
 }  // namespace
@@ -779,6 +831,7 @@ void* yabpe_encoder_new(const uint64_t* pair_keys, const int32_t* pair_ranks,
     e->live[pair_keys[i]] = {pair_ranks[i], pair_new_syms[i]};
   }
   e->out_ids.assign(out_ids, out_ids + n_syms);
+  e->enc_off.push_back(0);
   return e;
 }
 
@@ -790,16 +843,62 @@ int64_t yabpe_encode_segment(void* h, const uint8_t* text, int64_t n,
                              int32_t* out, int64_t cap) {
   Encoder* e = (Encoder*)h;
   std::lock_guard<std::mutex> lock(e->mu);
-  int64_t i = 0, written = 0;
-  while (i < n) {
-    int64_t end = next_token_end(text, n, i, nullptr, 0);
-    const std::vector<int32_t>& ids =
-        encode_word(*e, text + i, (int32_t)(end - i));
-    for (int32_t id : ids) {
-      if (written < cap) out[written] = id;
+  return encode_seg_batched(*e, text, n, out, cap, 0);
+}
+
+// Whole-text encode: split on specials (SORTED LONGEST-FIRST, tokenizer
+// dialect) and BPE-encode every plain segment, writing vocab ids in one
+// output array. special_ids[s] is the vocab id emitted for special s, or
+// -1 to drop it (the reference drops specials missing from the vocab,
+// tokenizer.py:177-181). Returns the id count; writes min(count, cap).
+int64_t yabpe_encode_text(void* h, const uint8_t* text, int64_t n,
+                          const uint8_t* special_bytes,
+                          const int32_t* special_lens,
+                          const int32_t* special_ids, int32_t n_specials,
+                          int32_t* out, int64_t cap) {
+  Encoder* e = (Encoder*)h;
+  std::lock_guard<std::mutex> lock(e->mu);
+  Special specials[64];
+  if (n_specials > 64) n_specials = 64;
+  int64_t off = 0;
+  uint8_t first_bytes[64];
+  for (int32_t s = 0; s < n_specials; ++s) {
+    specials[s].ptr = special_bytes + off;
+    specials[s].len = special_lens[s];
+    first_bytes[s] = special_lens[s] > 0 ? specials[s].ptr[0] : 0;
+    off += special_lens[s];
+  }
+  int64_t written = 0;
+  auto encode_seg = [&](const uint8_t* seg, int64_t seg_len) {
+    written = encode_seg_batched(*e, seg, seg_len, out, cap, written);
+  };
+  int64_t seg_start = 0;
+  int64_t i = 0;
+  while (i <= n) {
+    int32_t hit = -1;
+    if (i < n) {
+      uint8_t ch = text[i];
+      for (int32_t s = 0; s < n_specials; ++s) {
+        int32_t sl = specials[s].len;
+        if (sl > 0 && ch == first_bytes[s] && i + sl <= n &&
+            memcmp(text + i, specials[s].ptr, sl) == 0) {
+          hit = s;
+          break;
+        }
+      }
+      if (hit < 0) {
+        ++i;
+        continue;
+      }
+    }
+    encode_seg(text + seg_start, i - seg_start);
+    if (i >= n) break;
+    if (special_ids[hit] >= 0) {
+      if (written < cap) out[written] = special_ids[hit];
       ++written;
     }
-    i = end;
+    i += specials[hit].len;
+    seg_start = i;
   }
   return written;
 }
@@ -810,13 +909,17 @@ void yabpe_encoder_cache_info(void* h, int64_t* hits, int64_t* misses,
   std::lock_guard<std::mutex> lock(e->mu);
   *hits = e->hits;
   *misses = e->misses;
-  *size = (int64_t)e->cache.size();
+  *size = (int64_t)e->words.n_entries();
 }
 
 void yabpe_encoder_cache_clear(void* h) {
   Encoder* e = (Encoder*)h;
   std::lock_guard<std::mutex> lock(e->mu);
-  e->cache.clear();
+  free(e->words.slots);
+  free(e->words.arena);
+  e->words = Counter();
+  e->enc_off.assign(1, 0);
+  e->enc_flat.clear();
   e->hits = 0;
   e->misses = 0;
 }

@@ -177,6 +177,18 @@ def _load() -> ctypes.CDLL | None:
         ]
         lib.yabpe_encoder_free.restype = None
         lib.yabpe_encoder_free.argtypes = [ctypes.c_void_p]
+        lib.yabpe_encode_text.restype = ctypes.c_int64
+        lib.yabpe_encode_text.argtypes = [
+            ctypes.c_void_p,
+            ctypes.c_char_p,
+            ctypes.c_int64,
+            ctypes.c_char_p,
+            ctypes.POINTER(ctypes.c_int32),
+            ctypes.POINTER(ctypes.c_int32),
+            ctypes.c_int32,
+            ctypes.POINTER(ctypes.c_int32),
+            ctypes.c_int64,
+        ]
         lib.yabpe_encode_segment.restype = ctypes.c_int64
         lib.yabpe_encode_segment.argtypes = [
             ctypes.c_void_p,
@@ -381,6 +393,39 @@ class NativeEncoder:
             out32.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
             len(out32),
         )
+
+    def encode_text(
+        self,
+        data: bytes,
+        special_bytes: list[bytes],
+        special_ids: list[int],
+    ) -> np.ndarray:
+        """Split on specials (longest-first order expected) and encode the
+        whole text in one native pass. ``special_ids[i]`` is the vocab id
+        written for ``special_bytes[i]`` (-1 drops it)."""
+        assert self._h is not None
+        n = len(data)
+        out = np.empty(max(n + 1, 1), dtype=np.int32)
+        sp_blob = b"".join(special_bytes)
+        n_sp = len(special_bytes)
+        sp_lens = (ctypes.c_int32 * max(n_sp, 1))(
+            *[len(b) for b in special_bytes]
+        )
+        sp_ids = (ctypes.c_int32 * max(n_sp, 1))(
+            *[i if i is not None else -1 for i in special_ids]
+        )
+        count = self._lib.yabpe_encode_text(
+            self._h,
+            data,
+            n,
+            sp_blob,
+            sp_lens,
+            sp_ids,
+            n_sp,
+            out.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+            len(out),
+        )
+        return out[:count]
 
     def encode_segment(self, data: bytes) -> np.ndarray:
         """Pre-tokenize + BPE-encode a special-free UTF-8 segment."""

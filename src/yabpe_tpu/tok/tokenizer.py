@@ -103,21 +103,16 @@ class BBPETokenizer:
         if not text:
             return []
         out: list[int] = []
-        if self._special_tokens and native.available():
-            # Fully bytes-native path: special scan + pre-token scan in C.
+        if native.available():
+            # Fully bytes-native path: one C pass does the special-token
+            # split (tokenizer dialect, longest-first), pre-tokenization,
+            # and per-word BPE, writing vocab ids into a single array.
             sp_bytes = self._specials_longest_first_bytes
-            data = text.encode("utf-8")
-            starts, ids = native.find_specials(data, sp_bytes)
-            prev = 0
-            for start, sid in zip(starts.tolist(), ids.tolist()):
-                if start > prev:
-                    self._encode_plain_bytes(data[prev:start], out)
-                vid = self._vocab.get(sp_bytes[sid])
-                if vid is not None:
-                    out.append(vid)
-                prev = start + len(sp_bytes[sid])
-            if prev < len(data):
-                self._encode_plain_bytes(data[prev:], out)
+            sp_ids = [self._vocab.get(b, -1) for b in sp_bytes]
+            ids = self._get_native_encoder().encode_text(
+                text.encode("utf-8"), sp_bytes, sp_ids
+            )
+            return ids.tolist()
         elif self._special_pattern is not None:
             for part in self._special_pattern.split(text):
                 if not part:
