@@ -66,7 +66,7 @@ class BBPETokenizer:
         )
         # built lazily by encode_batch(device=True), keyed by shard count
         self._device_encoder: dict[int, object] = {}
-        self._native_encoder = None  # built lazily by _encode_plain_bytes
+        self._native_encoder = None  # built lazily by encode()
 
     @classmethod
     def from_file(cls, model_dir: str | Path) -> "BBPETokenizer":
@@ -128,15 +128,11 @@ class BBPETokenizer:
         return out
 
     def _encode_plain(self, text: str, out: list[int]) -> None:
-        if native.available():
-            self._encode_plain_bytes(text.encode("utf-8"), out)
-            return
+        """Pure-Python fallback (native unavailable): regex pre-tokenize +
+        cached per-word batch-merge scan."""
         cached = self._encode_word_cached
         for word in self._pattern.findall(text):
             out.extend(cached(word))
-
-    def _encode_plain_bytes(self, data: bytes, out: list[int]) -> None:
-        out.extend(self._get_native_encoder().encode_segment(data).tolist())
 
     def _get_native_encoder(self):
         if self._native_encoder is None:
