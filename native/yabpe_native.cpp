@@ -631,6 +631,45 @@ void yabpe_counter_add(void* h, const uint8_t* text, int64_t n,
   batch_scan_count(c, text, n, specials, n_specials, nullptr, 0, 0);
 }
 
+// Add a raw exported word table (blob + lens + counts) into the counter —
+// the cross-host union step: hosts exchange raw tables (host-count
+// invariant by commutativity) and every host folds the others' tables in.
+// Prefetch-batched like counter_merge.
+void yabpe_counter_add_table(void* h, const uint8_t* blob,
+                             const int32_t* lens, const int64_t* counts,
+                             int64_t n_words) {
+  Counter* c = (Counter*)h;
+  constexpr int B = kScanBatch;
+  struct Pend {
+    const uint8_t* p;
+    int32_t len;
+    int64_t count;
+    uint64_t w8, w16, hsh;
+  };
+  Pend pend[B];
+  int64_t off = 0, i = 0;
+  while (i < n_words) {
+    int nb = 0;
+    size_t mask = c->cap ? c->cap - 1 : 0;
+    while (nb < B && i < n_words) {
+      Pend& t = pend[nb++];
+      t.p = blob + off;
+      t.len = lens[i];
+      t.count = counts[i];
+      t.w8 = pack_word8(t.p, t.len);
+      t.w16 = pack_w16(t.p, t.len);
+      t.hsh = hash_wkey(t.w8, t.w16, t.p + 16, t.len);
+      if (c->slots) __builtin_prefetch(&c->slots[t.hsh & mask]);
+      off += lens[i];
+      ++i;
+    }
+    for (int k = 0; k < nb; ++k) {
+      const Pend& t = pend[k];
+      counter_upsert(c, t.p, t.len, t.count, t.w8, t.w16, t.hsh);
+    }
+  }
+}
+
 // Merge src into dst (src unchanged). Lets the driver fold per-chunk
 // counters without exporting intermediates.
 void yabpe_counter_merge(void* dst, const void* src) {

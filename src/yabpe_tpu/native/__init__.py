@@ -153,6 +153,14 @@ def _load() -> ctypes.CDLL | None:
             ctypes.POINTER(ctypes.c_int32),
             ctypes.c_int32,
         ]
+        lib.yabpe_counter_add_table.restype = None
+        lib.yabpe_counter_add_table.argtypes = [
+            ctypes.c_void_p,
+            ctypes.c_char_p,
+            ctypes.POINTER(ctypes.c_int32),
+            ctypes.POINTER(ctypes.c_int64),
+            ctypes.c_int64,
+        ]
         lib.yabpe_counter_merge.restype = None
         lib.yabpe_counter_merge.argtypes = [ctypes.c_void_p, ctypes.c_void_p]
         lib.yabpe_counter_unique.restype = ctypes.c_int64
@@ -543,6 +551,19 @@ class NativeCounter:
             out.append(words[off : off + length])
             off += length
         return out
+
+    def add_table(self, blob: bytes, lens: np.ndarray, counts: np.ndarray) -> None:
+        """Fold a raw exported word table (e.g. from another host) in."""
+        assert self._h is not None
+        lens = np.ascontiguousarray(lens, dtype=np.int32)
+        counts = np.ascontiguousarray(counts, dtype=np.int64)
+        self._lib.yabpe_counter_add_table(
+            self._h,
+            blob,
+            lens.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+            counts.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+            len(lens),
+        )
 
     def merge(self, other: "NativeCounter") -> None:
         assert self._h is not None and other._h is not None

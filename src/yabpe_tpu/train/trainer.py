@@ -51,7 +51,20 @@ class BBPETrainer:
         raw = None
         counter = None
         t0 = time.perf_counter()
-        if cfg.backend == "jax" and self._native_loop_candidate():
+        if cfg.backend == "jax" and self._multihost():
+            # Cross-host corpus sharding: each host ingests its file shard,
+            # tables are all-gathered and unioned identically on every host
+            # (yabpe_tpu.dist.ingest).
+            from yabpe_tpu.dist.ingest import count_pretokens_global
+
+            raw = count_pretokens_global(
+                files,
+                cfg.special_tokens,
+                chunk_size_bytes=cfg.chunk_size_bytes,
+                max_workers=cfg.max_workers,
+                align_to_newline=cfg.align_chunks_to_newline,
+            )
+        elif cfg.backend == "jax" and self._native_loop_candidate():
             from yabpe_tpu.pretok.ingest import count_pretokens_raw
 
             raw = count_pretokens_raw(
@@ -184,6 +197,20 @@ class BBPETrainer:
             )
 
         return train_state.merges_to_bytes(merges_ids, base)
+
+    def _multihost(self) -> bool:
+        """True when running under jax.distributed with >1 processes (and
+        the native scanner is available for the raw-table exchange)."""
+        from yabpe_tpu import native
+
+        if not native.available():
+            return False
+        try:
+            import jax
+
+            return jax.process_count() > 1
+        except Exception:
+            return False
 
     def _native_loop_candidate(self) -> bool:
         """Config-level eligibility for the C++ host merge loop."""

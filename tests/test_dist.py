@@ -7,6 +7,9 @@ shard count must produce bit-identical training results.
 
 from __future__ import annotations
 
+import os
+from pathlib import Path
+
 from collections import Counter
 
 import numpy as np
@@ -130,3 +133,111 @@ def test_trainer_config_data_shards(tmp_path):
     sharded = BBPETrainer(BBPETrainerConfig(**kw, data_shards=8)).train([src])
     assert single.merges == sharded.merges
     assert single.vocab == sharded.vocab
+
+
+def test_multihost_ingest_degenerate_and_table_union(tmp_path):
+    """Single-process count_pretokens_global == local raw ingest, and the
+    cross-host raw-table union (add_table) == one-shot counting."""
+    from yabpe_tpu import native
+    from yabpe_tpu.dist.ingest import count_pretokens_global, shard_files
+    from yabpe_tpu.pretok.ingest import count_pretokens_raw, counter_from_raw
+
+    if not native.available():
+        pytest.skip("native scanner unavailable")
+
+    f1 = tmp_path / "a.txt"
+    f2 = tmp_path / "b.txt"
+    f1.write_text("the cat sat on the mat<|endoftext|>again the cat\n" * 50)
+    f2.write_text("ein Hund läuft 😀 durch die Stadt\nthe cat returns\n" * 40)
+
+    # Degenerate single-process path.
+    g = count_pretokens_global([f1, f2], ["<|endoftext|>"], max_workers=2)
+    local = count_pretokens_raw(
+        [f1, f2], ["<|endoftext|>"],
+        chunk_size_bytes=32 * 1024 * 1024, max_workers=2,
+        align_to_newline=True,
+    )
+    assert counter_from_raw(*g) == counter_from_raw(*local)
+
+    # Simulated 2-host union: per-shard tables folded via add_table.
+    shards = [shard_files([f1, f2], p, 2) for p in range(2)]
+    assert shards[0] == [f1] and shards[1] == [f2]
+    root = native.NativeCounter()
+    for shard in shards:
+        t = count_pretokens_raw(
+            shard, ["<|endoftext|>"],
+            chunk_size_bytes=32 * 1024 * 1024, max_workers=1,
+        )
+        root.add_table(*t)
+    words, lens, counts = root.export()
+    root.close()
+    one_shot = count_pretokens_raw(
+        [f1, f2], ["<|endoftext|>"],
+        chunk_size_bytes=1 << 30, max_workers=1,
+    )
+    assert counter_from_raw(words, lens, counts) == counter_from_raw(*one_shot)
+
+
+def test_multihost_ingest_two_processes(tmp_path):
+    """Real 2-process jax.distributed run: count_pretokens_global must
+    produce the identical global table on every host, equal to the
+    single-process result."""
+    import hashlib
+    import subprocess
+    import sys
+
+    from yabpe_tpu import native
+    from yabpe_tpu.pretok.ingest import count_pretokens_raw, counter_from_raw
+
+    if not native.available():
+        pytest.skip("native scanner unavailable")
+
+    files = [
+        str(REF_FIXTURES / "corpus.en"),
+        str(REF_FIXTURES / "tinystories_sample.txt"),
+    ]
+    expected = counter_from_raw(
+        *count_pretokens_raw(files, ["<|endoftext|>"], max_workers=2)
+    )
+    want = hashlib.sha256(repr(sorted(expected.items())).encode()).hexdigest()
+
+    script = tmp_path / "mh.py"
+    script.write_text(
+        "import os, sys\n"
+        f"sys.path.insert(0, {str(Path(__file__).resolve().parents[1] / 'src')!r})\n"
+        "pid = int(sys.argv[1])\n"
+        "import jax\n"
+        "jax.distributed.initialize(coordinator_address='localhost:19741',\n"
+        "                           num_processes=2, process_id=pid)\n"
+        "from yabpe_tpu.dist.ingest import count_pretokens_global\n"
+        "from yabpe_tpu.pretok.ingest import counter_from_raw\n"
+        f"files = {files!r}\n"
+        "c = counter_from_raw(*count_pretokens_global(\n"
+        "    files, ['<|endoftext|>'], max_workers=2))\n"
+        "import hashlib\n"
+        "print('DIGEST', pid,\n"
+        "      hashlib.sha256(repr(sorted(c.items())).encode()).hexdigest(),\n"
+        "      flush=True)\n"
+    )
+    env = dict(os.environ)
+    env.pop("PALLAS_AXON_POOL_IPS", None)
+    env["JAX_PLATFORMS"] = "cpu"
+    env["YABPE_BACKEND"] = "cpu"
+    procs = [
+        subprocess.Popen(
+            [sys.executable, str(script), str(p)],
+            stdout=subprocess.PIPE,
+            stderr=subprocess.DEVNULL,
+            env=env,
+        )
+        for p in range(2)
+    ]
+    digests = {}
+    for p, proc in enumerate(procs):
+        out, _ = proc.communicate(timeout=240)
+        assert proc.returncode == 0, out.decode()
+        for line in out.decode().splitlines():
+            if line.startswith("DIGEST"):
+                _, pid_s, digest = line.split()
+                digests[int(pid_s)] = digest
+    assert digests == {0: want, 1: want}
