@@ -1109,7 +1109,12 @@ struct Trainer {
   // prefixes fall back to the full byte compare.
   std::vector<uint64_t> sym_prefix;
   std::unordered_map<std::string, int32_t> sym_of;
-  std::vector<std::vector<int32_t>> words;
+  // Word symbol rows in one arena (offset/len per word): merges only
+  // shrink rows in place, and contiguity + prefetch keeps the per-merge
+  // affected-word scans off the DRAM-latency path.
+  std::vector<int32_t> word_data;
+  std::vector<int64_t> word_off;
+  std::vector<int32_t> word_len;
   std::vector<int64_t> counts;
   PairMap pairs;
   std::vector<std::array<int32_t, 2>> merges;  // (left_sym, right_sym)
@@ -1194,8 +1199,9 @@ void heap_rebuild(Trainer& t, size_t target, int64_t floor_min) {
 }
 
 void add_word_pairs(Trainer& t, int32_t wi, int64_t f, bool heap_live) {
-  const std::vector<int32_t>& w = t.words[wi];
-  for (size_t j = 0; j + 1 < w.size(); ++j) {
+  const int32_t* w = t.word_data.data() + t.word_off[(size_t)wi];
+  int32_t wl = t.word_len[(size_t)wi];
+  for (int32_t j = 0; j + 1 < wl; ++j) {
     uint64_t key = pkey(w[j], w[j + 1]);
     PairRec& rec = t.pairs.get_or_insert(key);
     rec.count += f;
@@ -1221,14 +1227,19 @@ void* yabpe_train(const uint8_t* words_blob, const int32_t* word_lens,
     t->sym_prefix.push_back(prefix_key(t->sym_bytes.back()));
     t->sym_of.emplace(t->sym_bytes.back(), b);
   }
-  t->words.resize((size_t)n_words);
   t->counts.assign(word_counts, word_counts + n_words);
+  {
+    int64_t total = 0;
+    for (int64_t i = 0; i < n_words; ++i) total += word_lens[i];
+    t->word_data.resize((size_t)total);
+    t->word_off.resize((size_t)n_words);
+    t->word_len.assign(word_lens, word_lens + n_words);
+  }
   int64_t off = 0;
   for (int64_t i = 0; i < n_words; ++i) {
-    std::vector<int32_t>& w = t->words[(size_t)i];
-    w.resize((size_t)word_lens[i]);
+    t->word_off[(size_t)i] = off;
     for (int32_t j = 0; j < word_lens[i]; ++j) {
-      w[(size_t)j] = (int32_t)words_blob[off + j];
+      t->word_data[(size_t)(off + j)] = (int32_t)words_blob[off + j];
     }
     off += word_lens[i];
     add_word_pairs(*t, (int32_t)i, t->counts[(size_t)i], false);
@@ -1299,23 +1310,32 @@ void* yabpe_train(const uint8_t* words_blob, const int32_t* word_lens,
     std::vector<int32_t> affected;
     affected.swap(t->pairs.find(best)->words);
     t->pairs.erase(best);
-    for (int32_t wi : affected) {
-      std::vector<int32_t>& w = t->words[(size_t)wi];
+    const size_t n_aff = affected.size();
+    constexpr size_t kAhead = 8;
+    for (size_t ai = 0; ai < n_aff; ++ai) {
+      if (ai + kAhead < n_aff) {
+        int32_t nw = affected[ai + kAhead];
+        __builtin_prefetch(
+            t->word_data.data() + t->word_off[(size_t)nw]);
+      }
+      int32_t wi = affected[ai];
+      int32_t* w = t->word_data.data() + t->word_off[(size_t)wi];
+      int32_t wl = t->word_len[(size_t)wi];
       // Find the leftmost occurrence; the index may list words that no
       // longer contain the pair (staleness), and the prefix before it is
       // untouched so its pair counts need no update.
-      size_t first = SIZE_MAX;
-      for (size_t j = 0; j + 1 < w.size(); ++j) {
+      int32_t first = -1;
+      for (int32_t j = 0; j + 1 < wl; ++j) {
         if (w[j] == a && w[j + 1] == b) {
           first = j;
           break;
         }
       }
-      if (first == SIZE_MAX) continue;
+      if (first < 0) continue;
       int64_t f = t->counts[(size_t)wi];
-      size_t lo = first > 0 ? first - 1 : 0;
+      int32_t lo = first > 0 ? first - 1 : 0;
       // decrement old pairs in the affected window (mark dirty)
-      for (size_t j = lo; j + 1 < w.size(); ++j) {
+      for (int32_t j = lo; j + 1 < wl; ++j) {
         uint64_t key = pkey(w[j], w[j + 1]);
         PairRec* pit = t->pairs.find(key);
         if (pit != nullptr) {
@@ -1329,18 +1349,19 @@ void* yabpe_train(const uint8_t* words_blob, const int32_t* word_lens,
         }
       }
       // in-place leftmost-to-right merge scan (reference trainer.py:276-285)
-      size_t k = first, j = first;
-      while (j < w.size()) {
-        if (j + 1 < w.size() && w[j] == a && w[j + 1] == b) {
+      int32_t k = first, j = first;
+      while (j < wl) {
+        if (j + 1 < wl && w[j] == a && w[j + 1] == b) {
           w[k++] = c;
           j += 2;
         } else {
           w[k++] = w[j++];
         }
       }
-      w.resize(k);
+      wl = k;
+      t->word_len[(size_t)wi] = wl;
       // increment new pairs in the affected window (and index the word)
-      for (size_t j2 = lo; j2 + 1 < w.size(); ++j2) {
+      for (int32_t j2 = lo; j2 + 1 < wl; ++j2) {
         uint64_t key = pkey(w[j2], w[j2 + 1]);
         PairRec& rec = t->pairs.get_or_insert(key);
         rec.count += f;
