@@ -8,18 +8,21 @@ to a following word under `` ?\\p{L}+``-style branches), so both sides
 pre-tokenize independently to the same tokens. Special tokens are also kept
 intact by only cutting outside any special-token occurrence.
 
-Workers re-build the tokenizer once per process (model parts are shipped via
-the pool initializer) and stream back plain id arrays.
+With the native runtime available, workers are THREADS: each gets its own
+C encoder handle (built from shared read-only tables) and the ctypes call
+releases the GIL, so spans encode on real cores with no process spin-up or
+pickling. The process pool remains for the pure-Python fallback.
 """
 
 from __future__ import annotations
 
 import os
-from concurrent.futures import ProcessPoolExecutor
+from concurrent.futures import ProcessPoolExecutor, ThreadPoolExecutor
 from pathlib import Path
 
 import numpy as np
 
+from yabpe_tpu import native
 from yabpe_tpu.pretok import chunking
 
 _WORKER_TOK = None
@@ -110,8 +113,12 @@ def encode_file_parallel(
     *,
     max_workers: int | None = None,
     chunk_bytes: int = 4 * 1024 * 1024,
+    symbol_tables=None,
 ) -> np.ndarray:
-    """Encode a whole file exactly, fanned out over a process pool."""
+    """Encode a whole file exactly, fanned out over worker threads (native)
+    or a process pool (pure-Python fallback). ``symbol_tables`` optionally
+    carries the caller's precomputed (live, out_ids) extended-symbol
+    tables so repeated calls skip rebuilding them."""
     path = Path(path)
     chunking.ensure_exists(path)
     spans = safe_cut_points(path, chunk_bytes, special_tokens)
@@ -119,12 +126,18 @@ def encode_file_parallel(
         return np.zeros((0,), dtype=np.int32)
     if max_workers is None:
         max_workers = min(os.cpu_count() or 1, 16)
-    # Pool spin-up + model pickling costs ~0.5 s; below ~4 chunks serial wins.
+
+    if native.available():
+        return _encode_spans_threaded(
+            path, spans, vocab, merges, special_tokens, max_workers,
+            symbol_tables,
+        )
+
+    # Pure-Python fallback: process pool beats the GIL-bound regex engine.
     if max_workers <= 1 or len(spans) < 4:
         _init_worker(vocab, merges, special_tokens)
         parts = [_encode_span(str(path), s, e) for s, e in spans]
         return np.concatenate(parts)
-
     with ProcessPoolExecutor(
         max_workers=max_workers,
         initializer=_init_worker,
@@ -134,6 +147,62 @@ def encode_file_parallel(
             pool.submit(_encode_span, str(path), s, e) for s, e in spans
         ]
         return np.concatenate([f.result() for f in futures])
+
+
+def _encode_spans_threaded(
+    path: Path,
+    spans: list[tuple[int, int]],
+    vocab: dict[bytes, int],
+    merges: list[tuple[bytes, bytes]],
+    special_tokens: list[str],
+    max_workers: int,
+    symbol_tables=None,
+) -> np.ndarray:
+    """Thread fan-out with one native encoder handle per worker."""
+    import threading
+
+    if symbol_tables is not None:
+        live, out_ids = symbol_tables
+    else:
+        from yabpe_tpu.tok.symbols import extended_symbol_tables
+
+        unk_id = vocab.get(b"[UNK]", 0)
+        _, live, out_ids = extended_symbol_tables(vocab, merges, unk_id)
+    sp_bytes = [
+        s.encode("utf-8")
+        for s in sorted(special_tokens, key=len, reverse=True)
+    ]
+    sp_ids = [vocab.get(b, -1) for b in sp_bytes]
+
+    local = threading.local()
+    encoders: list[native.NativeEncoder] = []
+    enc_lock = threading.Lock()
+
+    def encoder() -> native.NativeEncoder:
+        e = getattr(local, "enc", None)
+        if e is None:
+            e = native.NativeEncoder(live, out_ids)
+            local.enc = e
+            with enc_lock:
+                encoders.append(e)
+        return e
+
+    def work(span: tuple[int, int]) -> np.ndarray:
+        data = chunking.read_span(path, span[0], span[1])
+        bad = native.utf8_invalid_at(data)
+        if bad >= 0:
+            chunking.decode_span_utf8(data, path, span[0])
+        return encoder().encode_text(data, sp_bytes, sp_ids)
+
+    workers = min(max_workers, os.cpu_count() or 1)
+    if workers <= 1 or len(spans) == 1:
+        parts = [work(sp) for sp in spans]
+    else:
+        with ThreadPoolExecutor(max_workers=workers) as pool:
+            parts = list(pool.map(work, spans))
+    for e in encoders:
+        e.close()
+    return np.concatenate(parts)
 
 
 __all__ = ["encode_file_parallel", "safe_cut_points"]

@@ -67,6 +67,7 @@ class BBPETokenizer:
         # built lazily by encode_batch(device=True), keyed by shard count
         self._device_encoder: dict[int, object] = {}
         self._native_encoder = None  # built lazily by encode()
+        self._symbol_tables_cache = None
 
     @classmethod
     def from_file(cls, model_dir: str | Path) -> "BBPETokenizer":
@@ -134,13 +135,19 @@ class BBPETokenizer:
         for word in self._pattern.findall(text):
             out.extend(cached(word))
 
-    def _get_native_encoder(self):
-        if self._native_encoder is None:
+    def _symbol_tables(self):
+        if self._symbol_tables_cache is None:
             from yabpe_tpu.tok.symbols import extended_symbol_tables
 
             _, live, out_ids = extended_symbol_tables(
                 self._vocab, self._merges, self._unk_id
             )
+            self._symbol_tables_cache = (live, out_ids)
+        return self._symbol_tables_cache
+
+    def _get_native_encoder(self):
+        if self._native_encoder is None:
+            live, out_ids = self._symbol_tables()
             self._native_encoder = native.NativeEncoder(live, out_ids)
         return self._native_encoder
 
@@ -225,6 +232,7 @@ class BBPETokenizer:
         """
         from yabpe_tpu.tok.parallel_encode import encode_file_parallel
 
+        tables = self._symbol_tables() if native.available() else None
         return encode_file_parallel(
             path,
             self._vocab,
@@ -232,6 +240,7 @@ class BBPETokenizer:
             self._special_tokens,
             max_workers=max_workers,
             chunk_bytes=chunk_bytes,
+            symbol_tables=tables,
         )
 
     def _get_device_encoder(self, data_shards: int | None = None):
