@@ -14,6 +14,9 @@ from yabpe_tpu.io import gpt2 as gpt2io  # noqa: E402
 
 
 def main():
+    from yabpe_tpu.utils import hostmem
+
+    hostmem.warm_heap(512)  # pre-fault: this sandbox pages in lazily
     merges = gpt2io.load_gpt2_merges(
         "/root/reference/tests/fixtures_gpt2/gpt2_merges.txt"
     )
@@ -44,15 +47,23 @@ def main():
         t0 = time.perf_counter()
         ids = tok.encode(text)
         dt = time.perf_counter() - t0
-        print(f"5MB serial: {nb / dt / 1e6:.2f} MB/s ({len(ids)} tokens)")
+        print(f"5MB serial (cold cache): {nb / dt / 1e6:.2f} MB/s "
+              f"({len(ids)} tokens)")
         t0 = time.perf_counter()
-        tok.encode_file(five_m, max_workers=8, chunk_bytes=1 << 20)
+        tok.encode(text)
         dt = time.perf_counter() - t0
-        print(f"5MB parallel file: {nb / dt / 1e6:.2f} MB/s")
+        print(f"5MB serial (warm cache): {nb / dt / 1e6:.2f} MB/s")
+        for workers in (1, 2, 4, 8):
+            tok.encode_file(five_m, max_workers=workers)  # warm-up
+            t0 = time.perf_counter()
+            tok.encode_file(five_m, max_workers=workers)
+            dt = time.perf_counter() - t0
+            print(f"5MB parallel file x{workers}: {nb / dt / 1e6:.2f} MB/s")
+        tok.encode_batch([text], device=True)  # warm-up: jit compile
         t0 = time.perf_counter()
         tok.encode_batch([text], device=True)
         dt = time.perf_counter() - t0
-        print(f"5MB device-batched: {nb / dt / 1e6:.2f} MB/s")
+        print(f"5MB device-batched (warm): {nb / dt / 1e6:.2f} MB/s")
     print(f"cache: {tok.cache_info()}")
 
 

@@ -401,6 +401,31 @@ class NativeEncoder:
             out32.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
             len(out32),
         )
+        self._specials_cache: dict = {}
+        self._specials_keepalive: list = []
+
+    def _prepared_specials(
+        self, special_bytes: list[bytes], special_ids: list[int]
+    ):
+        """Cache the per-call-constant ctypes argument block (keyed by
+        identity of the caller's lists — the tokenizer reuses the same
+        objects every call, so repeat encodes skip rebuilding)."""
+        key = (id(special_bytes), id(special_ids))
+        prep = self._specials_cache.get(key)
+        if prep is None:
+            n_sp = len(special_bytes)
+            sp_blob = b"".join(special_bytes)
+            sp_lens = (ctypes.c_int32 * max(n_sp, 1))(
+                *[len(b) for b in special_bytes]
+            )
+            sp_ids = (ctypes.c_int32 * max(n_sp, 1))(
+                *[i if i is not None else -1 for i in special_ids]
+            )
+            prep = (sp_blob, sp_lens, sp_ids, n_sp)
+            # Keep the source lists alive so the id() key stays unique.
+            self._specials_cache[key] = prep
+            self._specials_keepalive.append((special_bytes, special_ids))
+        return prep
 
     def encode_text(
         self,
@@ -414,13 +439,8 @@ class NativeEncoder:
         assert self._h is not None
         n = len(data)
         out = np.empty(max(n + 1, 1), dtype=np.int32)
-        sp_blob = b"".join(special_bytes)
-        n_sp = len(special_bytes)
-        sp_lens = (ctypes.c_int32 * max(n_sp, 1))(
-            *[len(b) for b in special_bytes]
-        )
-        sp_ids = (ctypes.c_int32 * max(n_sp, 1))(
-            *[i if i is not None else -1 for i in special_ids]
+        sp_blob, sp_lens, sp_ids, n_sp = self._prepared_specials(
+            special_bytes, special_ids
         )
         count = self._lib.yabpe_encode_text(
             self._h,

@@ -60,9 +60,20 @@ class BBPETokenizer:
             for s in sorted(self._special_tokens, key=len, reverse=True)
         ]
         self._unk_id: int = self._vocab.get(b"[UNK]", 0)
+        self._specials_vocab_ids = [
+            self._vocab.get(b, -1)
+            for b in self._specials_longest_first_bytes
+        ]
 
         self._encode_word_cached = lru_cache(maxsize=_CACHE_SIZE)(
             self._encode_word_impl
+        )
+        # Short-text result cache: the reference's per-word LRU gives it
+        # ~2 us warm single-word encode; the native one-pass call costs
+        # ~8 us of fixed dispatch, so small repeated texts are served from
+        # here (fresh list per call, tuples cached).
+        self._encode_short_cached = lru_cache(maxsize=_CACHE_SIZE)(
+            self._encode_short_impl
         )
         # built lazily by encode_batch(device=True), keyed by shard count
         self._device_encoder: dict[int, object] = {}
@@ -108,10 +119,12 @@ class BBPETokenizer:
             # Fully bytes-native path: one C pass does the special-token
             # split (tokenizer dialect, longest-first), pre-tokenization,
             # and per-word BPE, writing vocab ids into a single array.
-            sp_bytes = self._specials_longest_first_bytes
-            sp_ids = [self._vocab.get(b, -1) for b in sp_bytes]
+            if len(text) <= 64:
+                return list(self._encode_short_cached(text))
             ids = self._get_native_encoder().encode_text(
-                text.encode("utf-8"), sp_bytes, sp_ids
+                text.encode("utf-8"),
+                self._specials_longest_first_bytes,
+                self._specials_vocab_ids,
             )
             return ids.tolist()
         elif self._special_pattern is not None:
@@ -127,6 +140,14 @@ class BBPETokenizer:
         else:
             self._encode_plain(text, out)
         return out
+
+    def _encode_short_impl(self, text: str) -> tuple[int, ...]:
+        ids = self._get_native_encoder().encode_text(
+            text.encode("utf-8"),
+            self._specials_longest_first_bytes,
+            self._specials_vocab_ids,
+        )
+        return tuple(ids.tolist())
 
     def _encode_plain(self, text: str, out: list[int]) -> None:
         """Pure-Python fallback (native unavailable): regex pre-tokenize +
@@ -284,6 +305,7 @@ class BBPETokenizer:
 
     def clear_cache(self) -> None:
         self._encode_word_cached.cache_clear()
+        self._encode_short_cached.cache_clear()
         if self._native_encoder is not None:
             self._native_encoder.cache_clear()
 
