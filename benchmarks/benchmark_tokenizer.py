@@ -25,6 +25,8 @@ def main():
                         special_tokens=["<|endoftext|>"])
 
     words = ["tokenization", "hello", "antidisestablishmentarianism"] * 2000
+    for w in words:
+        tok.encode(w)  # warm-up: fill the cache
     t0 = time.perf_counter()
     for w in words:
         tok.encode(w)
@@ -32,6 +34,7 @@ def main():
     print(f"single words (cached): {len(words) / dt:.0f} words/s")
 
     sentence = "The quick brown fox jumps over the lazy dog. " * 10
+    tok.encode(sentence)  # warm-up
     t0 = time.perf_counter()
     for _ in range(200):
         tok.encode(sentence)
