@@ -230,7 +230,20 @@ class BBPETokenizer:
         of that many devices.
         """
         if device:
-            return self._get_device_encoder(data_shards).encode_batch(texts)
+            try:
+                encoder = self._get_device_encoder(data_shards)
+            except ValueError:
+                # Extended symbol table exceeds the device kernel's packed
+                # uint32 pair-key range (>65535 symbols): serve the batch
+                # from the host path instead of failing.
+                from yabpe_tpu.utils.logging import get_logger
+
+                get_logger(__name__).warning(
+                    "vocab too large for the device encoder; "
+                    "falling back to host encode_batch"
+                )
+            else:
+                return encoder.encode_batch(texts)
         return [self.encode(t) for t in texts]
 
     def encode_iterable(self, iterable: Iterable[str]) -> Iterator[int]:

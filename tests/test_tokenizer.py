@@ -202,3 +202,39 @@ def test_from_file_tolerates_malformed_merge_lines(tmp_path: Path):
     (tmp_path / "merges.txt").write_text("a b\n\nmalformedline\n")
     t = BBPETokenizer.from_file(tmp_path)
     assert t.encode("ab") == [256]
+
+
+def test_device_encode_falls_back_for_huge_symbol_table():
+    """A vocab whose extended symbol table exceeds the device kernel's
+    packed uint32 pair-key range must transparently use the host path."""
+    vocab = {bytes([b]): b for b in range(256)}
+    merges = []
+    nxt = 256
+    # 70k synthetic merges: each product chains a prior token + one byte.
+    toks = list(vocab)
+    while nxt < 70000:
+        a = toks[nxt % len(toks)]
+        b = bytes([(nxt * 7) % 256])
+        m = a + b
+        if m not in vocab:
+            vocab[m] = nxt
+            merges.append((a, b))
+            toks.append(m)
+            nxt += 1
+        else:
+            toks.append(m)
+            nxt += 1
+    tok = BBPETokenizer(vocab=vocab, merges=merges)
+    texts = ["hello world", ""]
+    assert tok.encode_batch(texts, device=True) == tok.encode_batch(texts)
+
+
+def test_hostmem_tuning_is_idempotent():
+    from yabpe_tpu.utils import hostmem
+
+    assert hostmem.tune_malloc() in (True, False)
+    assert hostmem.tune_malloc() in (True, False)
+    # warming down to an already-warmed size is a no-op
+    first = hostmem.warm_heap(8)
+    again = hostmem.warm_heap(8)
+    assert again == 0 or first == 0
