@@ -113,6 +113,36 @@ def bench_train_corpus_en() -> float:
     return dt
 
 
+def bench_train_corpus_en_fused() -> None:
+    """TPU path live check: corpus.en @500 forced through the fused Pallas
+    VMEM kernel (warm; merges must match the golden engine)."""
+    import jax
+
+    from yabpe_tpu import BBPETrainer, BBPETrainerConfig
+
+    if jax.default_backend() == "cpu":
+        _log("train_corpus_en_fused: skipped (CPU backend)")
+        return
+    cfg = BBPETrainerConfig(
+        vocab_size=500,
+        min_frequency=1,
+        max_workers=1,
+        chunk_size_bytes=1 << 30,
+        special_tokens=["<|endoftext|>"],
+        use_native_loop=False,
+        use_fused_kernel=True,
+    )
+    tr = BBPETrainer(cfg)
+    model = tr.train([CORPUS_EN])  # warm-up (compile cached)
+    t0 = time.perf_counter()
+    model = tr.train([CORPUS_EN])
+    dt = time.perf_counter() - t0
+    _log(
+        f"train_corpus_en_fused(pallas, TPU): {dt:.3f}s, "
+        f"{len(model.merges)} merges (reference {BASELINE_TRAIN_CORPUS_EN_S}s)"
+    )
+
+
 def bench_encode_5m() -> float:
     """Encode throughput with the GPT-2 model on both corpora (MB/s)."""
     from yabpe_tpu import BBPETokenizer
@@ -173,6 +203,7 @@ def _worker() -> None:
         _train_bps(FIVE_M, "train_5m_repeated", BASELINE_TRAIN_5M_BYTES_PER_S)
         bench_train_corpus_en()
         bench_encode_5m()
+        bench_train_corpus_en_fused()
     except Exception as e:  # subsidiary benches must not kill the headline
         _log(f"subsidiary bench failed: {e!r}")
 
