@@ -57,3 +57,37 @@ c.close()
 c2.close()
 print("ASan native end-to-end: OK")
 EOF
+
+# ---- ThreadSanitizer pass over the threaded native paths --------------------
+g++ -O1 -g -fsanitize=thread -fno-omit-frame-pointer -shared -fPIC \
+    -std=c++17 -o native/build/libyabpe_native_tsan.so native/yabpe_native.cpp
+
+YABPE_NATIVE_SO="$PWD/native/build/libyabpe_native_tsan.so" \
+LD_PRELOAD="$(g++ -print-file-name=libtsan.so)" \
+TSAN_OPTIONS=report_bugs=1:halt_on_error=1 \
+python - <<'EOF2'
+import sys
+sys.path.insert(0, "src")
+from yabpe_tpu.pretok.ingest import count_pretokens_raw
+w, l, c = count_pretokens_raw(
+    ["/root/reference/tests/fixtures_gpt2/corpus.en"],
+    ["<|endoftext|>"], chunk_size_bytes=16384, max_workers=4)
+assert len(l) > 0
+
+from yabpe_tpu import BBPETokenizer
+from yabpe_tpu.io import gpt2 as gpt2io
+merges = gpt2io.load_gpt2_merges(
+    "/root/reference/tests/fixtures_gpt2/gpt2_merges.txt")
+vocab = gpt2io.load_gpt2_vocab("tests/fixtures_gpt2/gpt2_vocab.json")
+tok = BBPETokenizer(vocab=vocab, merges=merges,
+                    special_tokens=["<|endoftext|>"])
+ids = tok.encode_file(
+    "/root/reference/tests/fixtures_gpt2/tinystories_sample.txt",
+    max_workers=4, chunk_bytes=16384)
+from concurrent.futures import ThreadPoolExecutor
+texts = ["hello world " * 50, "Straße 中文 👋 " * 30] * 8
+with ThreadPoolExecutor(max_workers=4) as pool:
+    results = list(pool.map(tok.encode, texts))
+assert results == [tok.encode(t) for t in texts]
+print("TSan threaded paths: OK")
+EOF2
