@@ -13,6 +13,16 @@ from pathlib import Path
 
 
 def main() -> int:
+    import argparse
+
+    parser = argparse.ArgumentParser(
+        prog="yabpe-bench",
+        description=(
+            "Run the benchmark harness (training + encode workloads; "
+            "prints one JSON headline line to stdout, details to stderr)."
+        ),
+    )
+    parser.parse_args()
     root = Path(__file__).resolve().parents[3]
     bench = root / "bench.py"
     if not bench.exists():
