@@ -98,5 +98,30 @@ def _print_summary(summary: dict) -> None:
             print(f"  {k}: {v}")
 
 
+def main_tiny_stories() -> int:
+    """Drop-in `train-tiny-stories` console entry: the reference script's
+    exact workload (TinyStoriesV2-GPT4-valid.txt, vocab 5000, min_freq 2,
+    8 workers, 20 MiB chunks, special <|endoftext|>, output
+    models/tinystories_bpe) — reference scripts/train_bpe.py:11-66. A
+    corpus path may be passed to override the default (the TinyStories
+    file is a large blob not bundled here)."""
+    repo = Path(__file__).resolve().parents[3]
+    default = repo / "tests" / "data" / "TinyStoriesV2-GPT4-valid.txt"
+    data = Path(sys.argv[1]) if len(sys.argv) > 1 else default
+    if not data.exists():
+        raise FileNotFoundError(f"Data file not found: {data}")
+    return main(
+        [
+            str(data),
+            "-o", str(repo / "models" / "tinystories_bpe"),
+            "--vocab-size", "5000",
+            "--min-frequency", "2",
+            "--max-workers", "8",
+            "--chunk-size", str(20 * 1024 * 1024),
+            "--special-token", "<|endoftext|>",
+        ]
+    )
+
+
 if __name__ == "__main__":
     sys.exit(main())
