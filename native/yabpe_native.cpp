@@ -121,6 +121,25 @@ struct Special {
   int32_t len;
 };
 
+// Parsed special-token list (no count limit; heap-backed). Callers pass a
+// flat byte blob plus per-special lengths; `first_bytes` caches each
+// special's first byte for the scan fast path.
+struct SpecialSet {
+  std::vector<Special> specials;
+  std::vector<uint8_t> first_bytes;
+  SpecialSet(const uint8_t* bytes, const int32_t* lens, int32_t n) {
+    specials.resize(n > 0 ? n : 0);
+    first_bytes.resize(n > 0 ? n : 0);
+    int64_t off = 0;
+    for (int32_t s = 0; s < n; ++s) {
+      specials[s].ptr = bytes + off;
+      specials[s].len = lens[s];
+      first_bytes[s] = lens[s] > 0 ? bytes[off] : 0;
+      off += lens[s];
+    }
+  }
+};
+
 // One scanner step: token starting at byte offset i, returns its end offset.
 // Specials are checked first, in the order given (trainer-dialect
 // alternation order, trainer.py:163-169).
@@ -525,16 +544,9 @@ int64_t yabpe_pretok_word_ids_specials(void* h, const uint8_t* text,
                                        int32_t n_specials, int32_t* out_ids,
                                        int64_t cap) {
   Counter* c = (Counter*)h;
-  Special specials[64];
-  if (n_specials > 64) n_specials = 64;
-  int64_t off = 0;
-  uint8_t first_bytes[64];
-  for (int32_t s = 0; s < n_specials; ++s) {
-    specials[s].ptr = special_bytes + off;
-    specials[s].len = special_lens[s];
-    first_bytes[s] = special_lens[s] > 0 ? specials[s].ptr[0] : 0;
-    off += special_lens[s];
-  }
+  SpecialSet sp_set(special_bytes, special_lens, n_specials);
+  const Special* specials = sp_set.specials.data();
+  const uint8_t* first_bytes = sp_set.first_bytes.data();
   int64_t count = 0;
   int64_t seg_start = 0;
   int64_t i = 0;
@@ -576,16 +588,9 @@ int64_t yabpe_find_specials(const uint8_t* text, int64_t n,
                             const uint8_t* special_bytes,
                             const int32_t* special_lens, int32_t n_specials,
                             int64_t* starts, int32_t* ids, int64_t cap) {
-  Special specials[64];
-  if (n_specials > 64) n_specials = 64;
-  int64_t off = 0;
-  uint8_t first_bytes[64];
-  for (int32_t s = 0; s < n_specials; ++s) {
-    specials[s].ptr = special_bytes + off;
-    specials[s].len = special_lens[s];
-    first_bytes[s] = special_lens[s] > 0 ? specials[s].ptr[0] : 0;
-    off += special_lens[s];
-  }
+  SpecialSet sp_set(special_bytes, special_lens, n_specials);
+  const Special* specials = sp_set.specials.data();
+  const uint8_t* first_bytes = sp_set.first_bytes.data();
   int64_t count = 0;
   int64_t i = 0;
   while (i < n) {
@@ -620,14 +625,8 @@ void yabpe_counter_add(void* h, const uint8_t* text, int64_t n,
                        const uint8_t* special_bytes,
                        const int32_t* special_lens, int32_t n_specials) {
   Counter* c = (Counter*)h;
-  Special specials[64];
-  if (n_specials > 64) n_specials = 64;
-  int64_t off = 0;
-  for (int32_t s = 0; s < n_specials; ++s) {
-    specials[s].ptr = special_bytes + off;
-    specials[s].len = special_lens[s];
-    off += special_lens[s];
-  }
+  SpecialSet sp_set(special_bytes, special_lens, n_specials);
+  const Special* specials = sp_set.specials.data();
   batch_scan_count(c, text, n, specials, n_specials, nullptr, 0, 0);
 }
 
@@ -897,16 +896,9 @@ int64_t yabpe_encode_text(void* h, const uint8_t* text, int64_t n,
                           int32_t* out, int64_t cap) {
   Encoder* e = (Encoder*)h;
   std::lock_guard<std::mutex> lock(e->mu);
-  Special specials[64];
-  if (n_specials > 64) n_specials = 64;
-  int64_t off = 0;
-  uint8_t first_bytes[64];
-  for (int32_t s = 0; s < n_specials; ++s) {
-    specials[s].ptr = special_bytes + off;
-    specials[s].len = special_lens[s];
-    first_bytes[s] = special_lens[s] > 0 ? specials[s].ptr[0] : 0;
-    off += special_lens[s];
-  }
+  SpecialSet sp_set(special_bytes, special_lens, n_specials);
+  const Special* specials = sp_set.specials.data();
+  const uint8_t* first_bytes = sp_set.first_bytes.data();
   int64_t written = 0;
   auto encode_seg = [&](const uint8_t* seg, int64_t seg_len) {
     written = encode_seg_batched(*e, seg, seg_len, out, cap, written);
@@ -1220,7 +1212,13 @@ void* yabpe_train(const uint8_t* words_blob, const int32_t* word_lens,
                   const int64_t* word_counts, int64_t n_words,
                   int32_t num_merges, int64_t min_frequency) {
   Trainer* t = new Trainer();
-  t->pairs.reset((size_t)n_words);  // grows as needed
+  // At initialization every symbol is a single byte, so at most 256*256
+  // distinct pairs can exist; the map rehash-doubles on demand, so a large
+  // word table must not inflate the initial allocation (583k unique words
+  // would otherwise reserve a ~2M-slot table where ~64k suffices).
+  size_t pair_hint = (size_t)n_words < (size_t)65536 ? (size_t)n_words
+                                                     : (size_t)65536;
+  t->pairs.reset(pair_hint);  // grows as needed
   t->sym_bytes.reserve(256 + (size_t)num_merges);
   for (int b = 0; b < 256; ++b) {
     t->sym_bytes.emplace_back(1, (char)(uint8_t)b);

@@ -17,10 +17,13 @@ encoder is a vectorized merge-rank scan. See ``yabpe_tpu.train`` and
 """
 
 from yabpe_tpu.utils.jaxsetup import setup_compilation_cache as _setup_cache
-from yabpe_tpu.utils.hostmem import tune_malloc as _tune_malloc
 
 _setup_cache()
-_tune_malloc()
+# NOTE: glibc malloc tuning (yabpe_tpu.utils.hostmem.tune_malloc) is NOT
+# applied at import — it mutates process-wide allocator behavior (single
+# arena, no trim), which is right for training/benchmark processes but
+# wrong to impose on any application that merely imports this library.
+# The trainer, warm_heap, and the bench/CLI entry points opt in.
 
 from yabpe_tpu.train.config import BBPETrainerConfig
 from yabpe_tpu.train.model import BBPEModel

@@ -402,15 +402,14 @@ class NativeEncoder:
             len(out32),
         )
         self._specials_cache: dict = {}
-        self._specials_keepalive: list = []
 
     def _prepared_specials(
         self, special_bytes: list[bytes], special_ids: list[int]
     ):
-        """Cache the per-call-constant ctypes argument block (keyed by
-        identity of the caller's lists — the tokenizer reuses the same
-        objects every call, so repeat encodes skip rebuilding)."""
-        key = (id(special_bytes), id(special_ids))
+        """Cache the per-call-constant ctypes argument block, keyed by the
+        list *values* (so fresh-but-equal lists hit the cache, and a caller
+        mutating a list in place never gets a stale block)."""
+        key = (tuple(special_bytes), tuple(special_ids))
         prep = self._specials_cache.get(key)
         if prep is None:
             n_sp = len(special_bytes)
@@ -422,9 +421,9 @@ class NativeEncoder:
                 *[i if i is not None else -1 for i in special_ids]
             )
             prep = (sp_blob, sp_lens, sp_ids, n_sp)
-            # Keep the source lists alive so the id() key stays unique.
+            if len(self._specials_cache) >= 64:
+                self._specials_cache.clear()
             self._specials_cache[key] = prep
-            self._specials_keepalive.append((special_bytes, special_ids))
         return prep
 
     def encode_text(

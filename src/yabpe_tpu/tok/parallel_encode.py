@@ -1,12 +1,27 @@
 """Parallel whole-file encoding with pretoken-safe chunk boundaries.
 
 Encoding must be byte-exact, so files can only be split where no GPT-2
-pre-token can span the cut. A safe cut point is right after a ``\\n`` that is
-followed by a character that is neither whitespace nor the ASCII space: the
-whitespace run ends at the newline (only a single literal space can attach
-to a following word under `` ?\\p{L}+``-style branches), so both sides
-pre-tokenize independently to the same tokens. Special tokens are also kept
-intact by only cutting outside any special-token occurrence.
+pre-token can span the cut. A cut is safe exactly at a **non-whitespace →
+whitespace transition** (the cut character is ``\\s``, the character before
+it is not, per the ``regex`` engine's Unicode ``\\s``):
+
+- No GPT-2 pre-token contains a non-ws→ws transition (`` ?\\p{L}+`` and
+  friends attach at most a leading space and stop at whitespace; ``\\s+``
+  variants are all-whitespace), so the transition is always a pre-token
+  boundary in the whole text.
+- The left chunk then ends at a non-whitespace character, whose final
+  pre-token ends identically at end-of-buffer and mid-text.
+- The right chunk starts with the *entire* whitespace run plus its
+  following context, so the run tokenizes exactly as it does mid-text.
+
+Cutting *inside* or at the *end* of a whitespace run is NOT safe:
+``\\s+(?!\\S)`` tokenizes a run ending at end-of-buffer differently from the
+same run mid-text (e.g. ``"x\\n\\n" + "line"`` encodes the ``\\n\\n`` as one
+token, while the whole text splits it ``\\n`` + ``\\n``). Special tokens are
+kept intact by only cutting outside any special-token occurrence. When no
+safe transition exists near the target boundary the chunk is *extended
+forward* to the next one (or to end-of-file) — exactness is never traded
+for chunk-size regularity.
 
 With the native runtime available, workers are THREADS: each gets its own
 C encoder handle (built from shared read-only tables) and the ctypes call
@@ -21,6 +36,7 @@ from concurrent.futures import ProcessPoolExecutor, ThreadPoolExecutor
 from pathlib import Path
 
 import numpy as np
+import regex
 
 from yabpe_tpu import native
 from yabpe_tpu.pretok import chunking
@@ -43,19 +59,92 @@ def _encode_span(path: str, start: int, end: int) -> np.ndarray:
     return np.asarray(_WORKER_TOK.encode(text), dtype=np.int32)
 
 
+# Whitespace classification must agree with the pre-tokenizer's engine:
+# the `regex` module's Unicode \s is the single source of truth (the native
+# scanner is fuzz-verified against it).
+_WS_RE = regex.compile(r"\s")
+_ASCII_WS = frozenset(
+    i for i in range(128) if _WS_RE.fullmatch(chr(i)) is not None
+)
+_SCAN_WINDOW = 65536
+
+
+def _char_len(b0: int) -> int:
+    """UTF-8 sequence length implied by a lead byte (0 for continuations)."""
+    if b0 < 0x80:
+        return 1
+    if b0 < 0xC0:
+        return 0
+    if b0 < 0xE0:
+        return 2
+    if b0 < 0xF0:
+        return 3
+    return 4
+
+
+def _is_ws_at(buf: bytes, r: int) -> bool | None:
+    """Whitespace-ness of the character starting at ``buf[r]``.
+
+    Returns None when ``r`` is not a character start or the character is
+    truncated/malformed (such positions are never safe cuts).
+    """
+    b0 = buf[r]
+    if b0 < 0x80:
+        return b0 in _ASCII_WS
+    n = _char_len(b0)
+    if n == 0 or r + n > len(buf):
+        return None
+    try:
+        ch = buf[r : r + n].decode("utf-8")
+    except UnicodeDecodeError:
+        return None
+    return _WS_RE.fullmatch(ch) is not None
+
+
+def _prev_is_nonws(buf: bytes, r: int) -> bool:
+    """True iff a complete non-whitespace character ends at ``buf[r-1]``."""
+    s = r - 1
+    lim = max(0, r - 4)
+    while s >= lim and (buf[s] & 0xC0) == 0x80:
+        s -= 1
+    if s < 0:
+        return False
+    n = _char_len(buf[s])
+    if n == 0 or s + n != r:
+        return False
+    return _is_ws_at(buf, s) is False
+
+
+def _is_safe_cut(buf: bytes, r: int, specials: list[bytes]) -> bool:
+    return (
+        _is_ws_at(buf, r) is True
+        and _prev_is_nonws(buf, r)
+        and not _inside_special(buf, r, specials)
+    )
+
+
 def safe_cut_points(
     path: str | Path,
     target_chunk: int,
     special_tokens: list[str],
 ) -> list[tuple[int, int]]:
-    """Byte spans whose boundaries no pre-token or special can span."""
+    """Byte spans whose boundaries no pre-token or special can span.
+
+    See the module docstring for the safety argument: every cut sits on a
+    non-ws→ws character transition outside special-token occurrences, and
+    chunks are extended forward when no such transition exists near the
+    target boundary, so ``concat(encode(span))`` is always byte-identical
+    to ``encode(whole_file)``.
+    """
     path = Path(path)
     size = path.stat().st_size
     if size <= target_chunk:
         return [(0, size)] if size else []
 
     specials = [s.encode("utf-8") for s in special_tokens]
-    max_special = max((len(s) for s in specials), default=0)
+    # Context margin: enough bytes beyond a candidate to decode the cut
+    # character (<=4 bytes) and to detect a straddling special occurrence.
+    margin = max(4, max((len(s) for s in specials), default=0))
 
     spans: list[tuple[int, int]] = []
     with open(path, "rb") as f:
@@ -65,35 +154,44 @@ def safe_cut_points(
             if tentative >= size:
                 spans.append((start, size))
                 break
-            # Search a window around the tentative cut for "\n" + non-ws.
-            win_lo = max(start, tentative - 65536)
-            f.seek(win_lo)
-            window = f.read(min(tentative - win_lo + max_special + 4, size - win_lo))
-            cut = -1
-            rel_limit = tentative - win_lo
-            pos = rel_limit
-            while pos > 0:
-                nl = window.rfind(b"\n", 0, pos)
-                if nl < 0 or nl + 1 >= len(window):
-                    break
-                nxt = window[nl + 1]
-                if nxt not in b" \t\r\n\x0b\x0c":
-                    candidate = win_lo + nl + 1
-                    if not _inside_special(window, nl + 1, specials):
-                        cut = candidate
-                        break
-                pos = nl
-            if cut <= start:
-                # No safe cut found in the window: grow the chunk.
-                start_next = tentative
-                # fall back to UTF-8-safe cut (exactness only guaranteed for
-                # corpora with newlines; practically always present).
-                spans.append((start, tentative))
-                start = start_next
-                continue
+            cut = _find_safe_cut(f, start, tentative, size, specials, margin)
+            if cut is None:
+                spans.append((start, size))
+                break
             spans.append((start, cut))
             start = cut
     return spans
+
+
+def _find_safe_cut(
+    f,
+    start: int,
+    tentative: int,
+    size: int,
+    specials: list[bytes],
+    margin: int,
+) -> int | None:
+    """Largest safe cut in (start, tentative], else the smallest one past
+    ``tentative`` (forward extension), else None (rest of file is one span).
+    """
+    win_lo = max(start + 1, tentative - _SCAN_WINDOW)
+    buf_lo = max(0, win_lo - margin)
+    f.seek(buf_lo)
+    buf = f.read(min(tentative + margin, size) - buf_lo)
+    for r in range(tentative - buf_lo, win_lo - buf_lo - 1, -1):
+        if _is_safe_cut(buf, r, specials):
+            return buf_lo + r
+    pos = tentative + 1
+    while pos < size:
+        win_hi = min(size, pos + _SCAN_WINDOW)
+        buf_lo = max(0, pos - margin)
+        f.seek(buf_lo)
+        buf = f.read(min(win_hi + margin, size) - buf_lo)
+        for r in range(pos - buf_lo, win_hi - buf_lo):
+            if _is_safe_cut(buf, r, specials):
+                return buf_lo + r
+        pos = win_hi
+    return None
 
 
 def _inside_special(window: bytes, pos: int, specials: list[bytes]) -> bool:
@@ -195,13 +293,15 @@ def _encode_spans_threaded(
         return encoder().encode_text(data, sp_bytes, sp_ids)
 
     workers = min(max_workers, os.cpu_count() or 1)
-    if workers <= 1 or len(spans) == 1:
-        parts = [work(sp) for sp in spans]
-    else:
-        with ThreadPoolExecutor(max_workers=workers) as pool:
-            parts = list(pool.map(work, spans))
-    for e in encoders:
-        e.close()
+    try:
+        if workers <= 1 or len(spans) == 1:
+            parts = [work(sp) for sp in spans]
+        else:
+            with ThreadPoolExecutor(max_workers=workers) as pool:
+                parts = list(pool.map(work, spans))
+    finally:
+        for e in encoders:
+            e.close()
     return np.concatenate(parts)
 
 

@@ -230,19 +230,8 @@ class BBPETokenizer:
         of that many devices.
         """
         if device:
-            try:
-                encoder = self._get_device_encoder(data_shards)
-            except ValueError:
-                # Extended symbol table exceeds the device kernel's packed
-                # uint32 pair-key range (>65535 symbols): serve the batch
-                # from the host path instead of failing.
-                from yabpe_tpu.utils.logging import get_logger
-
-                get_logger(__name__).warning(
-                    "vocab too large for the device encoder; "
-                    "falling back to host encode_batch"
-                )
-            else:
+            encoder = self._get_device_encoder(data_shards)
+            if encoder is not None:
                 return encoder.encode_batch(texts)
         return [self.encode(t) for t in texts]
 
@@ -278,16 +267,32 @@ class BBPETokenizer:
         )
 
     def _get_device_encoder(self, data_shards: int | None = None):
+        """Build (and cache) the device encoder for a shard count.
+
+        Returns None — also cached, so the symbol tables are never rebuilt
+        just to fail again — when the extended symbol table exceeds the
+        device kernel's packed uint32 pair-key range (>65535 symbols); the
+        caller serves such batches from the host path.
+        """
         key = data_shards or 1
-        if self._device_encoder.get(key) is None:
+        if key not in self._device_encoder:
             from yabpe_tpu.tok.device_encode import DeviceEncoder
 
-            self._device_encoder[key] = DeviceEncoder(
-                vocab=self._vocab,
-                merges=self._merges,
-                special_tokens=self._special_tokens,
-                data_shards=data_shards,
-            )
+            try:
+                self._device_encoder[key] = DeviceEncoder(
+                    vocab=self._vocab,
+                    merges=self._merges,
+                    special_tokens=self._special_tokens,
+                    data_shards=data_shards,
+                )
+            except ValueError:
+                from yabpe_tpu.utils.logging import get_logger
+
+                get_logger(__name__).warning(
+                    "vocab too large for the device encoder; "
+                    "encode_batch(device=True) will use the host path"
+                )
+                self._device_encoder[key] = None
         return self._device_encoder[key]
 
     # ------------------------------------------------------------------ decode

@@ -42,6 +42,12 @@ class BBPETrainer:
             raise ValueError("At least one file must be provided")
         cfg = self.config
 
+        # Training owns this process's hot allocation path: opt in to the
+        # arena-friendly glibc tuning here (NOT at library import).
+        from yabpe_tpu.utils.hostmem import tune_malloc
+
+        tune_malloc()
+
         base = Vocab.base(cfg.special_tokens)
         num_merges = max(0, cfg.vocab_size - len(base))
 

@@ -201,13 +201,21 @@ def test_multihost_ingest_two_processes(tmp_path):
     )
     want = hashlib.sha256(repr(sorted(expected.items())).encode()).hexdigest()
 
+    # Pick a free coordinator port (a fixed one flakes whenever another
+    # run or an unrelated listener holds it).
+    import socket
+
+    with socket.socket() as sock:
+        sock.bind(("localhost", 0))
+        port = sock.getsockname()[1]
+
     script = tmp_path / "mh.py"
     script.write_text(
         "import os, sys\n"
         f"sys.path.insert(0, {str(Path(__file__).resolve().parents[1] / 'src')!r})\n"
         "pid = int(sys.argv[1])\n"
         "import jax\n"
-        "jax.distributed.initialize(coordinator_address='localhost:19741',\n"
+        f"jax.distributed.initialize(coordinator_address='localhost:{port}',\n"
         "                           num_processes=2, process_id=pid)\n"
         "from yabpe_tpu.dist.ingest import count_pretokens_global\n"
         "from yabpe_tpu.pretok.ingest import counter_from_raw\n"

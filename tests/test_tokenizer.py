@@ -155,6 +155,61 @@ def test_encode_file_parallel_exact(tok, tmp_path):
     assert np.array_equal(got, expected)
 
 
+def test_encode_file_exact_across_whitespace_runs(tok, tmp_path):
+    """Chunk cuts must never split or end inside a whitespace run: GPT-2's
+    \\s+(?!\\S) tokenizes a run at end-of-buffer differently from mid-text
+    (regression: 'x\\n\\nline' chunked after the second \\n gave '\\n\\n' as
+    one pre-token where serial encode gives '\\n' + '\\n')."""
+    import numpy as np
+
+    corpora = [
+        # Blank-line paragraph breaks at essentially every boundary.
+        ("para. one two three\n\npara two follows here\n\n" * 400),
+        # Trailing-space lines and CRLF runs.
+        ("line with trailing spaces   \r\n\r\nnext line\t\t\n" * 300),
+        # Unicode whitespace (NBSP, ideographic space) inside runs.
+        ("word  next 東京　　end\n\n" * 250),
+        # No newlines at all: only space transitions are available.
+        ("alpha beta gamma delta " * 800),
+        # Specials adjacent to whitespace runs.
+        ("doc one<|endoftext|>\n\n doc two <|endoftext|>  \n" * 200),
+    ]
+    for i, text in enumerate(corpora):
+        p = tmp_path / f"ws{i}.txt"
+        p.write_text(text, encoding="utf-8")
+        expected = np.asarray(tok.encode(text), dtype=np.int32)
+        for chunk in (1024, 4096):
+            got = tok.encode_file(p, max_workers=3, chunk_bytes=chunk)
+            assert np.array_equal(got, expected), (i, chunk)
+
+
+def test_safe_cut_points_invariants(tmp_path):
+    """Spans partition the file; every interior cut is a non-ws\u2192ws
+    transition; a file with no such transition is one span."""
+    import regex
+
+    from yabpe_tpu.tok.parallel_encode import safe_cut_points
+
+    ws = regex.compile(r"\s")
+    text = "one two\n\n  three four " * 500
+    p = tmp_path / "t.txt"
+    p.write_text(text, encoding="utf-8")
+    data = p.read_bytes()
+    spans = safe_cut_points(p, 2048, ["<|endoftext|>"])
+    assert spans[0][0] == 0 and spans[-1][1] == len(data)
+    for (_, b), (c, _) in zip(spans, spans[1:]):
+        assert b == c
+        left = data[:b].decode("utf-8")
+        right = data[b:].decode("utf-8")
+        assert left and right
+        assert ws.fullmatch(left[-1]) is None, repr(left[-10:])
+        assert ws.fullmatch(right[0]) is not None, repr(right[:10])
+
+    nows = tmp_path / "nows.txt"
+    nows.write_text("z" * 10000, encoding="utf-8")
+    assert safe_cut_points(nows, 1024, []) == [(0, 10000)]
+
+
 def test_encode_iterable_streams(tok):
     with open(DATA / "sample.txt", encoding="utf-8") as f:
         streamed = list(tok.encode_iterable(f))
@@ -208,25 +263,56 @@ def test_device_encode_falls_back_for_huge_symbol_table():
     """A vocab whose extended symbol table exceeds the device kernel's
     packed uint32 pair-key range must transparently use the host path."""
     vocab = {bytes([b]): b for b in range(256)}
+    # All 65,536 byte-pair products: 256 + 65,536 = 65,792 extended
+    # symbols, past the 65,535 uint32 pair-key limit.
     merges = []
     nxt = 256
-    # 70k synthetic merges: each product chains a prior token + one byte.
-    toks = list(vocab)
-    while nxt < 70000:
-        a = toks[nxt % len(toks)]
-        b = bytes([(nxt * 7) % 256])
-        m = a + b
-        if m not in vocab:
-            vocab[m] = nxt
+    for i in range(256):
+        for j in range(256):
+            a, b = bytes([i]), bytes([j])
+            vocab[a + b] = nxt
             merges.append((a, b))
-            toks.append(m)
-            nxt += 1
-        else:
-            toks.append(m)
             nxt += 1
     tok = BBPETokenizer(vocab=vocab, merges=merges)
     texts = ["hello world", ""]
     assert tok.encode_batch(texts, device=True) == tok.encode_batch(texts)
+    # The failure is cached: repeat calls must not rebuild the symbol
+    # tables just to fail again.
+    assert tok._device_encoder[1] is None
+    assert tok._get_device_encoder(None) is None
+
+
+def test_more_than_64_special_tokens_exact():
+    """Specials beyond the native scanner's old 64-entry cap must still be
+    split out (regression: the C path silently truncated the list, so
+    specials ranked 65+ by length were BPE-encoded as plain bytes)."""
+    vocab = {bytes([b]): b for b in range(256)}
+    specials = [f"<|reserved_{i:03d}|>" for i in range(100)]
+    for i, s in enumerate(specials):
+        vocab[s.encode("utf-8")] = 256 + i
+    t = BBPETokenizer(vocab=vocab, merges=[], special_tokens=specials)
+    text = "a" + specials[99] + "b" + specials[0] + specials[80]
+    ids = t.encode(text)
+    assert ids == [ord("a"), 256 + 99, ord("b"), 256, 256 + 80]
+    assert t.decode(ids) == text
+    # Training-dialect scanner too: specials are whole words in counts.
+    from yabpe_tpu import BBPETrainerConfig
+
+    cfg = BBPETrainerConfig(
+        vocab_size=256 + len(specials),
+        min_frequency=1,
+        max_workers=1,
+        special_tokens=specials,
+    )
+    tr = BBPETrainer(cfg)
+    import tempfile
+
+    with tempfile.NamedTemporaryFile("w", suffix=".txt", delete=False) as f:
+        f.write(text)
+        path = f.name
+    model = tr.train([path])
+    for s in specials:
+        assert s.encode("utf-8") in model.vocab
 
 
 def test_hostmem_tuning_is_idempotent():
