@@ -32,7 +32,7 @@ from yabpe_tpu.core.vocab import Vocab
 from yabpe_tpu.core.wordtable import WordTable
 from yabpe_tpu.kernels.merge_apply import apply_pair_merge
 from yabpe_tpu.kernels.pair_count import pair_counts_dense
-from yabpe_tpu.train.incremental import count_delta_and_apply, pick_affected_cap
+from yabpe_tpu.train.incremental import pick_affected_cap, tiered_count_update
 from yabpe_tpu.train.state import TrainState, init_state, vocab_update
 
 
@@ -83,77 +83,35 @@ def merge_step_big(
     vocab_cap: int,
     min_frequency: int,
     affected_cap: int,
+    in_range: jax.Array | bool = True,
 ) -> BigState:
+    """One merge step: O(V + affected x width) HBM traffic.
+
+    The count table is updated by gated scatter-adds (never a full-table
+    add or select), and skipped steps (post-stop / past num_merges) are
+    no-ops by construction, so no full-state masking copy exists anywhere
+    on the per-step path — essential when the [V, V] table is gigabytes.
+    """
     V = vocab_cap
     st = state.core
     left, right, best_count, row_max = lazy_select(
         state.counts, state.row_max, st.lex_rank, V
     )
-    stop_now = (best_count < max(min_frequency, 1)) | (best_count <= 0)
+    stop_now = (
+        (best_count < max(min_frequency, 1)) | (best_count <= 0)
+    ) & in_range
     stopped = st.stopped | stop_now
-    do = ~stopped
+    do = in_range & ~stopped
 
     st, new_sym = vocab_update(
         st, left, right, do, stopped, step_index, vocab_cap
     )
 
-    new_words, delta, overflowed, touched_keys = _delta_with_keys(
-        st.words, st.freqs, left, right, new_sym,
-        vocab_cap=V, affected_cap=affected_cap,
+    words, counts, rm = tiered_count_update(
+        st.words, st.freqs, state.counts, left, right, new_sym,
+        vocab_cap=V, affected_cap=affected_cap, gate=do, row_max=row_max,
     )
-
-    def incremental(_):
-        counts = state.counts + delta
-        # Fold increases into the bounds: gather post-update values at every
-        # touched cell and scatter-max into row_max.
-        safe = jnp.minimum(touched_keys, V * V - 1)
-        vals = jnp.where(touched_keys < V * V, counts[safe], -1)
-        rows = safe // V
-        rm = row_max.at[rows].max(vals)
-        return new_words, counts, rm
-
-    def full(_):
-        full_words = apply_pair_merge(st.words, left, right, new_sym)
-        counts = pair_counts_dense(full_words, st.freqs, V)
-        rm = jnp.max(counts.reshape(V, V), axis=1)
-        return full_words, counts, rm
-
-    words, counts, rm = jax.lax.cond(overflowed, full, incremental, None)
-    words = jnp.where(do, words, st.words)
-    counts = jnp.where(do, counts, state.counts)
-    rm = jnp.where(do, rm, row_max)
     return BigState(core=st._replace(words=words), counts=counts, row_max=rm)
-
-
-def _delta_with_keys(words, freqs, left, right, new_sym, *, vocab_cap, affected_cap):
-    """count_delta_and_apply variant that also returns the touched keys."""
-    from yabpe_tpu.kernels.pair_count import adjacent_pairs
-    from yabpe_tpu.train.incremental import _affected_slots, _pair_delta
-
-    n = words.shape[0]
-    l = words[:, :-1]
-    r = words[:, 1:]
-    affected = jnp.any((l == left) & (r == right) & (l >= 0), axis=1)
-    n_aff = jnp.sum(affected.astype(jnp.int32))
-    overflowed = n_aff > affected_cap
-
-    idx_buf, val_buf = _affected_slots(affected, affected_cap)
-    safe_idx = jnp.minimum(idx_buf, n - 1)
-    rows = words[safe_idx]
-    f = jnp.where(val_buf, freqs[safe_idx], 0)
-
-    old_keys, old_w = _pair_delta(rows, f, vocab_cap, -1)
-    new_rows = apply_pair_merge(rows, left, right, new_sym)
-    new_keys, new_w = _pair_delta(new_rows, f, vocab_cap, +1)
-
-    delta = jnp.zeros((vocab_cap * vocab_cap,), dtype=jnp.int32)
-    delta = delta.at[old_keys].add(old_w, mode="drop")
-    delta = delta.at[new_keys].add(new_w, mode="drop")
-
-    scatter_rows = jnp.where(val_buf[:, None], new_rows, rows)
-    new_words = words.at[idx_buf].set(scatter_rows, mode="drop")
-    touched = jnp.concatenate([old_keys, new_keys])
-    return new_words, delta, overflowed, touched
 
 
 @partial(
@@ -179,15 +137,14 @@ def merge_chunk_big(
 ) -> BigState:
     def body(i, s):
         step = chunk_start + i
-        in_range = step < num_merges
-        s_next = merge_step_big(
+        return merge_step_big(
             s,
             jnp.minimum(step, num_merges - 1),
             vocab_cap=vocab_cap,
             min_frequency=min_frequency,
             affected_cap=affected_cap,
+            in_range=step < num_merges,
         )
-        return jax.tree.map(lambda a, b: jnp.where(in_range, a, b), s_next, s)
 
     return jax.lax.fori_loop(0, chunk_size, body, state)
 

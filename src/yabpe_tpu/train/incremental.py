@@ -65,7 +65,7 @@ def _pair_delta(
     return keys.reshape(-1), weights.reshape(-1)
 
 
-def count_delta_and_apply(
+def count_delta_keys(
     words: jax.Array,
     freqs: jax.Array,
     left: jax.Array,
@@ -74,16 +74,22 @@ def count_delta_and_apply(
     *,
     vocab_cap: int,
     affected_cap: int,
-) -> tuple[jax.Array, jax.Array, jax.Array]:
-    """Compute (new_words, count_delta, overflowed) for one merge.
+    gate: jax.Array | bool = True,
+) -> tuple[jax.Array, jax.Array, jax.Array, jax.Array, jax.Array, jax.Array]:
+    """Sparse merge delta: (new_words, old_keys, old_w, new_keys, new_w,
+    overflowed).
 
-    The delta is exact when ``overflowed`` is False; callers must fall back
-    to a full recount otherwise (handled by merge_step_incremental).
+    ``gate=False`` makes the whole thing a provable no-op (no rows marked
+    affected, all scatter targets out of bounds, zero weights), so callers
+    never need a full-table ``jnp.where`` to mask a skipped step — the key
+    to keeping per-step HBM traffic O(affected x width) instead of O(V^2).
+    The keys/weights are exact when ``overflowed`` is False; callers fall
+    back to a full recount otherwise.
     """
     n = words.shape[0]
     l = words[:, :-1]
     r = words[:, 1:]
-    affected = jnp.any((l == left) & (r == right) & (l >= 0), axis=1)
+    affected = jnp.any((l == left) & (r == right) & (l >= 0), axis=1) & gate
     n_aff = jnp.sum(affected.astype(jnp.int32))
     overflowed = n_aff > affected_cap
 
@@ -96,14 +102,134 @@ def count_delta_and_apply(
     new_rows = apply_pair_merge(rows, left, right, new_sym)
     new_keys, new_w = _pair_delta(new_rows, f, vocab_cap, +1)
 
-    delta = jnp.zeros((vocab_cap * vocab_cap,), dtype=jnp.int32)
-    delta = delta.at[old_keys].add(old_w, mode="drop")
-    delta = delta.at[new_keys].add(new_w, mode="drop")
-
     # Write merged rows back (only valid slots; empty slots index N -> drop).
     scatter_rows = jnp.where(val_buf[:, None], new_rows, rows)
     new_words = words.at[idx_buf].set(scatter_rows, mode="drop")
+    return new_words, old_keys, old_w, new_keys, new_w, overflowed
+
+
+def count_delta_and_apply(
+    words: jax.Array,
+    freqs: jax.Array,
+    left: jax.Array,
+    right: jax.Array,
+    new_sym: jax.Array,
+    *,
+    vocab_cap: int,
+    affected_cap: int,
+) -> tuple[jax.Array, jax.Array, jax.Array]:
+    """Compute (new_words, dense count_delta, overflowed) for one merge.
+
+    The dense [V*V] delta shape is what the data-parallel path psums; the
+    single-device paths use :func:`count_delta_keys` directly and scatter
+    into the persistent table instead of materializing this buffer.
+    """
+    new_words, old_keys, old_w, new_keys, new_w, overflowed = count_delta_keys(
+        words, freqs, left, right, new_sym,
+        vocab_cap=vocab_cap, affected_cap=affected_cap,
+    )
+    delta = jnp.zeros((vocab_cap * vocab_cap,), dtype=jnp.int32)
+    delta = delta.at[old_keys].add(old_w, mode="drop")
+    delta = delta.at[new_keys].add(new_w, mode="drop")
     return new_words, delta, overflowed
+
+
+def _tier_caps(affected_cap: int) -> tuple[int, ...]:
+    """Ascending capacity tiers up to ``affected_cap``.
+
+    XLA scatter cost on TPU is proportional to the *buffer* size (dropped
+    out-of-bounds slots are still processed serially), so most steps —
+    which affect only a handful of rows — should pay for a small buffer.
+    A ``lax.switch`` escalates to larger tiers by the actual affected
+    count, and past the top tier to the full recount.
+    """
+    caps = []
+    c = 512
+    while c < affected_cap:
+        caps.append(c)
+        c *= 8
+    caps.append(affected_cap)
+    return tuple(caps)
+
+
+def tiered_count_update(
+    words: jax.Array,
+    freqs: jax.Array,
+    counts: jax.Array,
+    left: jax.Array,
+    right: jax.Array,
+    new_sym: jax.Array,
+    *,
+    vocab_cap: int,
+    affected_cap: int,
+    gate: jax.Array | bool = True,
+    row_max: jax.Array | None = None,
+) -> tuple[jax.Array, jax.Array, jax.Array | None]:
+    """Apply one merge to (words, counts[, row_max]) with tiered buffers.
+
+    Selects the smallest capacity tier that holds the affected rows and
+    runs the gather/delta/scatter pipeline at that size; above the top
+    tier, falls back to the exact full recount. ``row_max`` (the bigvocab
+    per-row upper-bound cache) is maintained by gathering post-update
+    values at touched cells and scatter-maxing — tight for increases.
+    Returns (words, counts, row_max-or-None).
+    """
+    V = vocab_cap
+    n = words.shape[0]
+    l = words[:, :-1]
+    r = words[:, 1:]
+    affected = jnp.any((l == left) & (r == right) & (l >= 0), axis=1) & gate
+    n_aff = jnp.sum(affected.astype(jnp.int32))
+
+    caps = _tier_caps(affected_cap)
+    tier = jnp.int32(0)
+    for c in caps:
+        tier = tier + (n_aff > c).astype(jnp.int32)
+
+    has_rm = row_max is not None
+    rm_in = row_max if has_rm else jnp.zeros((1,), jnp.int32)
+
+    def make_branch(cap: int):
+        def branch(operands):
+            words, counts, rm = operands
+            idx_buf, val_buf = _affected_slots(affected, cap)
+            safe_idx = jnp.minimum(idx_buf, n - 1)
+            rows = words[safe_idx]
+            f = jnp.where(val_buf, freqs[safe_idx], 0)
+
+            old_keys, old_w = _pair_delta(rows, f, V, -1)
+            new_rows = apply_pair_merge(rows, left, right, new_sym)
+            new_keys, new_w = _pair_delta(new_rows, f, V, +1)
+
+            keys = jnp.concatenate([old_keys, new_keys])
+            w = jnp.concatenate([old_w, new_w])
+            counts = counts.at[keys].add(w, mode="drop")
+
+            scatter_rows = jnp.where(val_buf[:, None], new_rows, rows)
+            words = words.at[idx_buf].set(scatter_rows, mode="drop")
+
+            if has_rm:
+                safe = jnp.minimum(keys, V * V - 1)
+                vals = jnp.where(keys < V * V, counts[safe], -1)
+                rm = rm.at[safe // V].max(vals)
+            return words, counts, rm
+
+        return branch
+
+    def full_branch(operands):
+        words, counts, rm = operands
+        del counts
+        full_words = apply_pair_merge(words, left, right, new_sym)
+        counts = pair_counts_dense(full_words, freqs, V)
+        if has_rm:
+            rm = jnp.max(counts.reshape(V, V), axis=1)
+        return full_words, counts, rm
+
+    branches = [make_branch(c) for c in caps] + [full_branch]
+    words, counts, rm = jax.lax.switch(
+        tier, branches, (words, counts, rm_in)
+    )
+    return words, counts, (rm if has_rm else None)
 
 
 def merge_step_incremental(
@@ -113,35 +239,31 @@ def merge_step_incremental(
     vocab_cap: int,
     min_frequency: int,
     affected_cap: int,
+    in_range: jax.Array | bool = True,
 ) -> IncState:
-    """One merge step with incremental count maintenance (single device)."""
+    """One merge step with incremental count maintenance (single device).
+
+    Out-of-range / post-stop steps are no-ops by construction (gated
+    scatters), so the chunk loop needs no full-state masking copy.
+    """
     st = state.core
     left, right, best_count = select_best_pair(
         state.counts, st.lex_rank, vocab_cap
     )
-    stop_now = (best_count < max(min_frequency, 1)) | (best_count <= 0)
+    stop_now = (
+        (best_count < max(min_frequency, 1)) | (best_count <= 0)
+    ) & in_range
     stopped = st.stopped | stop_now
-    do = ~stopped
+    do = in_range & ~stopped
 
     st, new_sym = vocab_update(
         st, left, right, do, stopped, step_index, vocab_cap
     )
 
-    new_words, delta, overflowed = count_delta_and_apply(
-        st.words, st.freqs, left, right, new_sym,
-        vocab_cap=vocab_cap, affected_cap=affected_cap,
+    words, counts, _ = tiered_count_update(
+        st.words, st.freqs, state.counts, left, right, new_sym,
+        vocab_cap=vocab_cap, affected_cap=affected_cap, gate=do,
     )
-
-    def incremental(_):
-        return new_words, state.counts + delta
-
-    def full(_):
-        full_words = apply_pair_merge(st.words, left, right, new_sym)
-        return full_words, pair_counts_dense(full_words, st.freqs, vocab_cap)
-
-    words, counts = jax.lax.cond(overflowed, full, incremental, None)
-    words = jnp.where(do, words, st.words)
-    counts = jnp.where(do, counts, state.counts)
     return IncState(core=st._replace(words=words), counts=counts)
 
 
@@ -170,15 +292,14 @@ def merge_chunk_incremental(
 
     def body(i, s):
         step = chunk_start + i
-        in_range = step < num_merges
-        s_next = merge_step_incremental(
+        return merge_step_incremental(
             s,
             jnp.minimum(step, num_merges - 1),
             vocab_cap=vocab_cap,
             min_frequency=min_frequency,
             affected_cap=affected_cap,
+            in_range=step < num_merges,
         )
-        return jax.tree.map(lambda a, b: jnp.where(in_range, a, b), s_next, s)
 
     return jax.lax.fori_loop(0, chunk_size, body, state)
 
@@ -197,6 +318,8 @@ __all__ = [
     "init_counts",
     "merge_step_incremental",
     "merge_chunk_incremental",
+    "count_delta_keys",
+    "tiered_count_update",
     "count_delta_and_apply",
     "pick_affected_cap",
 ]

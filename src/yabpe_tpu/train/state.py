@@ -103,12 +103,14 @@ def merge_step(
     count_strategy: str = "dense",
     counts: jax.Array | None = None,
     best: tuple[jax.Array, jax.Array, jax.Array] | None = None,
+    in_range: jax.Array | bool = True,
 ) -> TrainState:
     """One BPE merge step.
 
     Distributed callers may inject either the globally-reduced ``counts``
     table or the already-selected ``best`` (left, right, count) triple
     (vocab-sharded path, where no single device holds the full table).
+    ``in_range=False`` makes the step a no-op (nothing written).
     """
     if best is not None:
         left, right, best_count = best
@@ -119,9 +121,11 @@ def merge_step(
             )
         left, right, best_count = select_best_pair(counts, state.lex_rank, vocab_cap)
 
-    stop_now = (best_count < max(min_frequency, 1)) | (best_count <= 0)
+    stop_now = (
+        (best_count < max(min_frequency, 1)) | (best_count <= 0)
+    ) & in_range
     stopped = state.stopped | stop_now
-    do = ~stopped
+    do = in_range & ~stopped
 
     state, new_sym = vocab_update(
         state, left, right, do, stopped, step_index, vocab_cap
@@ -171,12 +175,12 @@ def vocab_update(
     )
     next_id = state.next_id + grow.astype(jnp.int32)
 
-    record = jnp.where(
-        do,
-        jnp.stack([left, right, new_sym]),
-        jnp.full((3,), -1, dtype=jnp.int32),
-    )
-    merges = state.merges.at[step_index].set(record)
+    # Skipped steps write nothing (the record array is -1-initialized and
+    # only ever appended to), so no-op steps cannot clobber earlier records
+    # and callers need no full-state masking copy.
+    record = jnp.stack([left, right, new_sym])
+    write_idx = jnp.where(do, step_index, state.merges.shape[0])
+    merges = state.merges.at[write_idx].set(record, mode="drop")
     num_done = state.num_done + do.astype(jnp.int32)
 
     return (
@@ -222,16 +226,13 @@ def merge_chunk(
 
     def body(i, st):
         step = chunk_start + i
-        in_range = step < num_merges
-        st_next = merge_step(
+        return merge_step(
             st,
             jnp.minimum(step, num_merges - 1),
             vocab_cap=vocab_cap,
             min_frequency=min_frequency,
             count_strategy=count_strategy,
-        )
-        return jax.tree.map(
-            lambda a, b: jnp.where(in_range, a, b), st_next, st
+            in_range=step < num_merges,
         )
 
     return jax.lax.fori_loop(0, chunk_size, body, state)
