@@ -51,34 +51,6 @@ def state_partition_specs() -> TrainState:
     )
 
 
-def _sharded_chunk(
-    state: TrainState,
-    chunk_start: jax.Array,
-    *,
-    vocab_cap: int,
-    min_frequency: int,
-    num_merges: int,
-    chunk_size: int,
-) -> TrainState:
-    """Chunk body running per-device inside shard_map (full recount)."""
-
-    def body(i, st):
-        step = chunk_start + i
-        in_range = step < num_merges
-        local_counts = pair_counts_dense(st.words, st.freqs, vocab_cap)
-        counts = jax.lax.psum(local_counts, "data")
-        st_next = merge_step(
-            st,
-            jnp.minimum(step, num_merges - 1),
-            vocab_cap=vocab_cap,
-            min_frequency=min_frequency,
-            counts=counts,
-        )
-        return jax.tree.map(lambda a, b: jnp.where(in_range, a, b), st_next, st)
-
-    return jax.lax.fori_loop(0, chunk_size, body, state)
-
-
 def _sharded_chunk_incremental(
     state,
     chunk_start: jax.Array,
@@ -89,22 +61,37 @@ def _sharded_chunk_incremental(
     chunk_size: int,
     affected_cap: int,
 ):
-    """Incremental chunk body: replicated count table + psum'd deltas.
+    """Incremental chunk body: replicated count table + all-gathered
+    sparse deltas.
 
     ``state`` is an IncState whose ``counts`` leaf is replicated and whose
-    word rows are data-sharded. Each step, every device computes the delta
-    from its local affected rows; one psum of the (sparse-in-content, dense-
-    in-shape) delta keeps the replicated table identical everywhere. When
-    any shard overflows its affected buffer, every shard contributes a
-    full-recount correction instead: shard 0 subtracts the old table so
-    ``counts + psum(contribution)`` lands on the fresh global recount —
-    a single integer-exact psum covers both cases, keeping the collective
-    outside ``lax.cond``.
+    word rows are data-sharded. Each step, every device packs the delta
+    keys/weights from its local affected rows into a fixed-capacity buffer
+    and the buffers are ``all_gather``ed over ``data`` — a few hundred KB
+    on the wire instead of the dense [V, V] table (4 GB at a 32k
+    vocabulary) the previous psum design moved every step. Every device
+    then applies the identical global update list to its replica, so the
+    table stays bitwise-equal everywhere.
+
+    Buffer capacities are tiered (``_tier_caps``): the tier is chosen by
+    the pmax of the per-shard affected count, so every device takes the
+    same ``lax.switch`` branch and the collectives inside the branches
+    match. Past the top tier, every shard recounts its rows and the fresh
+    table is psum'd (rare; first few merges only). Post-stop and
+    out-of-range steps are provable no-ops (gated affected sets), so the
+    loop carries no full-state masking copies.
     """
     from yabpe_tpu.kernels.merge_apply import apply_pair_merge
     from yabpe_tpu.kernels.select import select_best_pair
-    from yabpe_tpu.train.incremental import IncState, count_delta_and_apply
+    from yabpe_tpu.train.incremental import (
+        IncState,
+        _affected_slots,
+        _pair_delta,
+        _tier_caps,
+    )
     from yabpe_tpu.train.state import vocab_update
+
+    caps = _tier_caps(affected_cap)
 
     def body(i, s):
         st = s.core
@@ -115,39 +102,67 @@ def _sharded_chunk_incremental(
         left, right, best_count = select_best_pair(
             s.counts, st.lex_rank, vocab_cap
         )
-        stop_now = (best_count < max(min_frequency, 1)) | (best_count <= 0)
+        stop_now = (
+            (best_count < max(min_frequency, 1)) | (best_count <= 0)
+        ) & in_range
         stopped = st.stopped | stop_now
-        do = ~stopped
+        do = in_range & ~stopped
 
         st2, new_sym = vocab_update(
             st, left, right, do, stopped, rec_idx, vocab_cap
         )
 
-        new_words, delta, overflowed = count_delta_and_apply(
-            st2.words, st2.freqs, left, right, new_sym,
-            vocab_cap=vocab_cap, affected_cap=affected_cap,
-        )
-        any_overflow = jax.lax.pmax(overflowed.astype(jnp.int32), "data") > 0
-        is_first = jax.lax.axis_index("data") == 0
+        words_in = st2.words
+        freqs = st2.freqs
+        n = words_in.shape[0]
+        l = words_in[:, :-1]
+        r = words_in[:, 1:]
+        affected = jnp.any((l == left) & (r == right) & (l >= 0), axis=1) & do
+        n_aff = jnp.sum(affected.astype(jnp.int32))
+        tier_local = jnp.int32(0)
+        for c in caps:
+            tier_local = tier_local + (n_aff > c).astype(jnp.int32)
+        # pmax -> identical tier on every device, so the collective inside
+        # each switch branch is taken by all devices together.
+        tier = jax.lax.pmax(tier_local, "data")
 
-        def contrib_incremental(_):
-            return new_words, delta
+        def make_branch(cap: int):
+            def branch(operands):
+                words, counts = operands
+                idx_buf, val_buf = _affected_slots(affected, cap)
+                safe_idx = jnp.minimum(idx_buf, n - 1)
+                rows = words[safe_idx]
+                f = jnp.where(val_buf, freqs[safe_idx], 0)
 
-        def contrib_full(_):
-            full_words = apply_pair_merge(st2.words, left, right, new_sym)
-            local = pair_counts_dense(full_words, st2.freqs, vocab_cap)
-            correction = jnp.where(is_first, local - s.counts, local)
-            return full_words, correction
+                old_keys, old_w = _pair_delta(rows, f, vocab_cap, -1)
+                new_rows = apply_pair_merge(rows, left, right, new_sym)
+                new_keys, new_w = _pair_delta(new_rows, f, vocab_cap, +1)
 
-        words, contribution = jax.lax.cond(
-            any_overflow, contrib_full, contrib_incremental, None
-        )
-        counts = s.counts + jax.lax.psum(contribution, "data")
+                keys = jnp.concatenate([old_keys, new_keys])
+                w = jnp.concatenate([old_w, new_w])
+                gkeys = jax.lax.all_gather(keys, "data").reshape(-1)
+                gw = jax.lax.all_gather(w, "data").reshape(-1)
+                counts = counts.at[gkeys].add(gw, mode="drop")
 
-        words = jnp.where(do, words, st2.words)
-        counts = jnp.where(do, counts, s.counts)
-        s_next = IncState(core=st2._replace(words=words), counts=counts)
-        return jax.tree.map(lambda a, b: jnp.where(in_range, a, b), s_next, s)
+                scatter_rows = jnp.where(val_buf[:, None], new_rows, rows)
+                words = words.at[idx_buf].set(scatter_rows, mode="drop")
+                return words, counts
+
+            return branch
+
+        def full_branch(operands):
+            # Only reachable when do is True on some shard; do is
+            # replicated, so it is True everywhere and the ungated apply
+            # and recount are correct on every shard.
+            words, counts = operands
+            del counts
+            full_words = apply_pair_merge(words, left, right, new_sym)
+            local = pair_counts_dense(full_words, freqs, vocab_cap)
+            return full_words, jax.lax.psum(local, "data")
+
+        branches = [make_branch(c) for c in caps] + [full_branch]
+        words, counts = jax.lax.switch(tier, branches, (words_in, s.counts))
+        return IncState(core=st2._replace(words=words), counts=counts)
 
     return jax.lax.fori_loop(0, chunk_size, body, state)
 
@@ -197,7 +212,6 @@ def _sharded_chunk_2d(
 
     def body(i, st):
         step = chunk_start + i
-        in_range = step < num_merges
         m, left_g, right_g = local_best(st)
         counts_v = jax.lax.all_gather(m, "vocab")
         lefts_v = jax.lax.all_gather(left_g, "vocab")
@@ -209,14 +223,14 @@ def _sharded_chunk_2d(
         s3 = jnp.where(tie2, st.lex_rank[rights_v], -1)
         widx = jnp.argmax(s3)
         best = (lefts_v[widx], rights_v[widx], counts_v[widx])
-        st_next = merge_step(
+        return merge_step(
             st,
             jnp.minimum(step, num_merges - 1),
             vocab_cap=vocab_cap,
             min_frequency=min_frequency,
             best=best,
+            in_range=step < num_merges,
         )
-        return jax.tree.map(lambda a, b: jnp.where(in_range, a, b), st_next, st)
 
     return jax.lax.fori_loop(0, chunk_size, body, state)
 

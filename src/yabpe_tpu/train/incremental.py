@@ -6,11 +6,11 @@ count table lives on device as training state, and each merge step updates
 only the rows containing the merged pair — gathered into a fixed-capacity
 buffer via a cumsum-slot scatter — subtracting their old adjacent-pair
 counts and adding the new ones. When more rows are affected than the buffer
-holds (the first few merges), a ``lax.cond`` falls back to the full
+holds (the first few merges), the step falls back to the full
 recount + full-table apply. Per-step device work drops from
 O(total symbols) to O(affected x width) for the overwhelming majority of
-steps, and in the data-parallel path the psum shrinks from the whole
-[V, V] table to the same small deltas.
+steps, and the data-parallel path all-gathers the same small sparse
+deltas instead of moving any [V, V]-shaped buffer (dist/sharded.py).
 """
 
 from __future__ import annotations
@@ -63,75 +63,6 @@ def _pair_delta(
     keys = jnp.where(valid, left * vocab_cap + right, oob)
     weights = jnp.where(valid, sign * f[:, None], 0).astype(jnp.int32)
     return keys.reshape(-1), weights.reshape(-1)
-
-
-def count_delta_keys(
-    words: jax.Array,
-    freqs: jax.Array,
-    left: jax.Array,
-    right: jax.Array,
-    new_sym: jax.Array,
-    *,
-    vocab_cap: int,
-    affected_cap: int,
-    gate: jax.Array | bool = True,
-) -> tuple[jax.Array, jax.Array, jax.Array, jax.Array, jax.Array, jax.Array]:
-    """Sparse merge delta: (new_words, old_keys, old_w, new_keys, new_w,
-    overflowed).
-
-    ``gate=False`` makes the whole thing a provable no-op (no rows marked
-    affected, all scatter targets out of bounds, zero weights), so callers
-    never need a full-table ``jnp.where`` to mask a skipped step — the key
-    to keeping per-step HBM traffic O(affected x width) instead of O(V^2).
-    The keys/weights are exact when ``overflowed`` is False; callers fall
-    back to a full recount otherwise.
-    """
-    n = words.shape[0]
-    l = words[:, :-1]
-    r = words[:, 1:]
-    affected = jnp.any((l == left) & (r == right) & (l >= 0), axis=1) & gate
-    n_aff = jnp.sum(affected.astype(jnp.int32))
-    overflowed = n_aff > affected_cap
-
-    idx_buf, val_buf = _affected_slots(affected, affected_cap)
-    safe_idx = jnp.minimum(idx_buf, n - 1)
-    rows = words[safe_idx]
-    f = jnp.where(val_buf, freqs[safe_idx], 0)
-
-    old_keys, old_w = _pair_delta(rows, f, vocab_cap, -1)
-    new_rows = apply_pair_merge(rows, left, right, new_sym)
-    new_keys, new_w = _pair_delta(new_rows, f, vocab_cap, +1)
-
-    # Write merged rows back (only valid slots; empty slots index N -> drop).
-    scatter_rows = jnp.where(val_buf[:, None], new_rows, rows)
-    new_words = words.at[idx_buf].set(scatter_rows, mode="drop")
-    return new_words, old_keys, old_w, new_keys, new_w, overflowed
-
-
-def count_delta_and_apply(
-    words: jax.Array,
-    freqs: jax.Array,
-    left: jax.Array,
-    right: jax.Array,
-    new_sym: jax.Array,
-    *,
-    vocab_cap: int,
-    affected_cap: int,
-) -> tuple[jax.Array, jax.Array, jax.Array]:
-    """Compute (new_words, dense count_delta, overflowed) for one merge.
-
-    The dense [V*V] delta shape is what the data-parallel path psums; the
-    single-device paths use :func:`count_delta_keys` directly and scatter
-    into the persistent table instead of materializing this buffer.
-    """
-    new_words, old_keys, old_w, new_keys, new_w, overflowed = count_delta_keys(
-        words, freqs, left, right, new_sym,
-        vocab_cap=vocab_cap, affected_cap=affected_cap,
-    )
-    delta = jnp.zeros((vocab_cap * vocab_cap,), dtype=jnp.int32)
-    delta = delta.at[old_keys].add(old_w, mode="drop")
-    delta = delta.at[new_keys].add(new_w, mode="drop")
-    return new_words, delta, overflowed
 
 
 def _tier_caps(affected_cap: int) -> tuple[int, ...]:
@@ -318,8 +249,6 @@ __all__ = [
     "init_counts",
     "merge_step_incremental",
     "merge_chunk_incremental",
-    "count_delta_keys",
     "tiered_count_update",
-    "count_delta_and_apply",
     "pick_affected_cap",
 ]
