@@ -1,14 +1,19 @@
-"""Data-parallel sharded merge loop: shard_map + psum over the mesh.
+"""Sharded merge loop: shard_map over a (data[, vocab]) mesh.
 
 SPMD layout (north star, BASELINE.json):
 
 - word rows + frequencies: sharded over the ``data`` mesh axis;
 - token table, lex ranks, merge record: replicated (every device applies
-  identical updates — the argmax inputs are identical after the psum, so
-  replicated state stays bitwise-equal by construction);
-- per-step pair counts: computed locally, reduced with ``jax.lax.psum``
-  over ``data`` (integer adds commute, so the result — and therefore the
-  whole training run — is exactly shard-count invariant).
+  identical updates, so replicated state stays bitwise-equal by
+  construction);
+- pair counts: a persistent table — replicated (1D mesh) or sharded by
+  left-symbol rows over the ``vocab`` axis (2D mesh, for tables past one
+  chip's HBM) — maintained incrementally: per-step sparse merge deltas
+  are packed into tier-sized buffers, ``all_gather``ed over ``data``
+  (hundreds of KB instead of the [V, V] table), and applied identically
+  everywhere; the initial count and the rare overflow recount are the
+  only ``psum``s of table-shaped data (integer adds commute, so results
+  are exactly shard-count invariant).
 
 The reference's only parallelism is thread-pooled ingestion
 (/root/reference/src/yet_another_bpe/trainer.py:201-213); this module is
@@ -18,6 +23,7 @@ the device-parallel training layer it never had.
 from __future__ import annotations
 
 from functools import partial
+from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
@@ -29,7 +35,7 @@ from yabpe_tpu.core.vocab import Vocab
 from yabpe_tpu.core.wordtable import WordTable
 from yabpe_tpu.dist.mesh import make_2d_mesh, make_data_mesh
 from yabpe_tpu.kernels.pair_count import adjacent_pairs, pair_counts_dense
-from yabpe_tpu.train.state import TrainState, init_state, merge_step
+from yabpe_tpu.train.state import TrainState, init_state
 
 
 def _round_up(x: int, m: int) -> int:
@@ -167,8 +173,70 @@ def _sharded_chunk_incremental(
     return jax.lax.fori_loop(0, chunk_size, body, state)
 
 
+class Shard2DState(NamedTuple):
+    """Per-device training state on the (data, vocab) mesh.
+
+    ``slab`` is the dense pair-count table sharded by left-symbol rows
+    over the ``vocab`` axis ([V*V] global, [V*V/nv] per device) and
+    replicated over ``data``; ``row_max`` is the matching per-row
+    upper-bound cache (bigvocab's lazy-selection structure, sharded).
+    This is the configuration for count tables too large for one chip's
+    HBM: no [V, V]-shaped buffer ever exists on a single device, and no
+    [V, V]-shaped data ever moves per step.
+    """
+
+    core: TrainState
+    slab: jax.Array     # [V*V] i32, P("vocab")
+    row_max: jax.Array  # [V] i32, P("vocab")
+
+
+def _slab_lazy_select(slab, rm, lex_rank, row_lo, rows_per: int, V: int):
+    """Exact (count, global-left, right) max within this vocab shard's
+    slab via lazy bound verification; returns the tightened bounds."""
+    lex_rows = jax.lax.dynamic_slice(lex_rank, (row_lo,), (rows_per,))
+
+    def cond(carry):
+        return jnp.logical_not(carry[2])
+
+    def body(carry):
+        rm, _, _ = carry
+        m = jnp.max(rm)
+        cand = rm == m
+        a = jnp.argmax(jnp.where(cand, lex_rows, -1)).astype(jnp.int32)
+        row = jax.lax.dynamic_slice(slab, (a * V,), (V,))
+        true_max = jnp.max(row)
+        ok = true_max == m
+        rm = rm.at[a].set(true_max)
+        return (rm, a, ok)
+
+    rm, a, _ = jax.lax.while_loop(
+        cond, body, (rm, jnp.int32(0), jnp.bool_(False))
+    )
+    m = jnp.max(rm)
+    row = jax.lax.dynamic_slice(slab, (a * V,), (V,))
+    b = jnp.argmax(jnp.where(row == m, lex_rank, -1)).astype(jnp.int32)
+    return m, row_lo + a, b, rm
+
+
+def _init_slab_body(words, freqs, *, vocab_cap: int, rows_per: int):
+    """shard_map body: this vocab shard's initial count slab + row maxima
+    (local count of the data shard's rows, psum'd over ``data``)."""
+    vidx = jax.lax.axis_index("vocab")
+    row_lo = vidx * rows_per
+    left, right, valid = adjacent_pairs(words)
+    in_slice = valid & (left >= row_lo) & (left < row_lo + rows_per)
+    oob = rows_per * vocab_cap
+    key = jnp.where(in_slice, (left - row_lo) * vocab_cap + right, oob)
+    weight = jnp.where(in_slice, freqs[:, None], 0).astype(jnp.int32)
+    slab = jnp.zeros((rows_per * vocab_cap,), dtype=jnp.int32)
+    slab = slab.at[key.reshape(-1)].add(weight.reshape(-1), mode="drop")
+    slab = jax.lax.psum(slab, "data")
+    rm = jnp.max(slab.reshape(rows_per, vocab_cap), axis=1)
+    return slab, rm
+
+
 def _sharded_chunk_2d(
-    state: TrainState,
+    state: Shard2DState,
     chunk_start: jax.Array,
     *,
     vocab_cap: int,
@@ -176,43 +244,41 @@ def _sharded_chunk_2d(
     num_merges: int,
     chunk_size: int,
     vocab_shards: int,
-) -> TrainState:
-    """Chunk body for the (data, vocab) mesh.
+    affected_cap: int,
+) -> Shard2DState:
+    """Chunk body for the (data, vocab) mesh — incremental slabs.
 
-    Each device counts pairs only for its slice of left-symbol rows (the
-    dense table is sharded [V/nv, V] per device), psums over ``data``,
-    selects its slice-local best, and the global winner is chosen from the
-    all-gathered per-slice candidates with the exact (count, lex-left,
-    lex-right) tuple order — replicated-deterministic on every device.
+    Per step: every vocab shard lazily selects its slab-local exact best
+    (bound cache + row re-scan), the global winner is the exact
+    (count, lex-left, lex-right) tuple max of the all-gathered per-shard
+    candidates, sparse merge deltas are packed into tier-sized buffers and
+    all-gathered over ``data``, and each shard applies the slice of the
+    identical global update list that lands in its rows. Past the top
+    tier, each shard recounts its slab from its data shard's rows and
+    psums over ``data`` (first few merges only).
     """
+    from yabpe_tpu.kernels.merge_apply import apply_pair_merge
+    from yabpe_tpu.train.incremental import (
+        _affected_slots,
+        _pair_delta,
+        _tier_caps,
+    )
+    from yabpe_tpu.train.state import vocab_update
+
     rows_per = vocab_cap // vocab_shards
-    vidx = jax.lax.axis_index("vocab")
-    row_lo = vidx * rows_per
+    caps = _tier_caps(affected_cap)
 
-    def local_best(st: TrainState):
-        left, right, valid = adjacent_pairs(st.words)
-        in_slice = valid & (left >= row_lo) & (left < row_lo + rows_per)
-        oob = rows_per * vocab_cap
-        key = jnp.where(in_slice, (left - row_lo) * vocab_cap + right, oob)
-        weight = jnp.where(in_slice, st.freqs[:, None], 0).astype(jnp.int32)
-        local = jnp.zeros((rows_per * vocab_cap,), dtype=jnp.int32)
-        local = local.at[key.reshape(-1)].add(weight.reshape(-1), mode="drop")
-        counts = jax.lax.psum(local, "data").reshape(rows_per, vocab_cap)
-
-        lex_slice = jax.lax.dynamic_slice(st.lex_rank, (row_lo,), (rows_per,))
-        m = jnp.max(counts)
-        cand = counts == m
-        row_has = jnp.any(cand, axis=1)
-        li = jnp.argmax(jnp.where(row_has, lex_slice, -1)).astype(jnp.int32)
-        left_g = row_lo + li
-        right_g = jnp.argmax(
-            jnp.where(cand[li], st.lex_rank, -1)
-        ).astype(jnp.int32)
-        return m, left_g, right_g
-
-    def body(i, st):
+    def body(i, s):
+        st = s.core
         step = chunk_start + i
-        m, left_g, right_g = local_best(st)
+        in_range = step < num_merges
+        rec_idx = jnp.minimum(step, num_merges - 1)
+        vidx = jax.lax.axis_index("vocab")
+        row_lo = vidx * rows_per
+
+        m, left_g, right_g, rm = _slab_lazy_select(
+            s.slab, s.row_max, st.lex_rank, row_lo, rows_per, vocab_cap
+        )
         counts_v = jax.lax.all_gather(m, "vocab")
         lefts_v = jax.lax.all_gather(left_g, "vocab")
         rights_v = jax.lax.all_gather(right_g, "vocab")
@@ -222,14 +288,91 @@ def _sharded_chunk_2d(
         tie2 = tie1 & (s2 == jnp.max(s2))
         s3 = jnp.where(tie2, st.lex_rank[rights_v], -1)
         widx = jnp.argmax(s3)
-        best = (lefts_v[widx], rights_v[widx], counts_v[widx])
-        return merge_step(
-            st,
-            jnp.minimum(step, num_merges - 1),
-            vocab_cap=vocab_cap,
-            min_frequency=min_frequency,
-            best=best,
-            in_range=step < num_merges,
+        left = lefts_v[widx]
+        right = rights_v[widx]
+        best_count = counts_v[widx]
+
+        stop_now = (
+            (best_count < max(min_frequency, 1)) | (best_count <= 0)
+        ) & in_range
+        stopped = st.stopped | stop_now
+        do = in_range & ~stopped
+
+        st2, new_sym = vocab_update(
+            st, left, right, do, stopped, rec_idx, vocab_cap
+        )
+
+        words_in = st2.words
+        freqs = st2.freqs
+        n = words_in.shape[0]
+        l = words_in[:, :-1]
+        r = words_in[:, 1:]
+        affected = jnp.any((l == left) & (r == right) & (l >= 0), axis=1) & do
+        n_aff = jnp.sum(affected.astype(jnp.int32))
+        tier_local = jnp.int32(0)
+        for c in caps:
+            tier_local = tier_local + (n_aff > c).astype(jnp.int32)
+        # Words are replicated over "vocab", so tiers already agree along
+        # it; pmax over "data" makes every device take the same branch.
+        tier = jax.lax.pmax(tier_local, "data")
+
+        slab_oob = rows_per * vocab_cap
+
+        def make_branch(cap: int):
+            def branch(operands):
+                words, slab, rm = operands
+                idx_buf, val_buf = _affected_slots(affected, cap)
+                safe_idx = jnp.minimum(idx_buf, n - 1)
+                rows = words[safe_idx]
+                f = jnp.where(val_buf, freqs[safe_idx], 0)
+
+                old_keys, old_w = _pair_delta(rows, f, vocab_cap, -1)
+                new_rows = apply_pair_merge(rows, left, right, new_sym)
+                new_keys, new_w = _pair_delta(new_rows, f, vocab_cap, +1)
+
+                keys = jnp.concatenate([old_keys, new_keys])
+                w = jnp.concatenate([old_w, new_w])
+                gkeys = jax.lax.all_gather(keys, "data").reshape(-1)
+                gw = jax.lax.all_gather(w, "data").reshape(-1)
+
+                # Apply the slice of the global update list that lands in
+                # this shard's rows (out-of-slab keys drop).
+                lk = gkeys - row_lo * vocab_cap
+                in_slab = (lk >= 0) & (lk < slab_oob)
+                lk = jnp.where(in_slab, lk, slab_oob)
+                slab = slab.at[lk].add(
+                    jnp.where(in_slab, gw, 0), mode="drop"
+                )
+
+                # Tighten-on-increase: gather post-update values at the
+                # touched in-slab cells and scatter-max into the bounds.
+                safe = jnp.minimum(lk, slab_oob - 1)
+                vals = jnp.where(in_slab, slab[safe], -1)
+                rm2 = rm.at[safe // vocab_cap].max(vals)
+
+                scatter_rows = jnp.where(val_buf[:, None], new_rows, rows)
+                words = words.at[idx_buf].set(scatter_rows, mode="drop")
+                return words, slab, rm2
+
+            return branch
+
+        def full_branch(operands):
+            # Only reachable when do is True (replicated), so the ungated
+            # full apply + recount is correct on every shard.
+            words, slab, rm = operands
+            del slab, rm
+            full_words = apply_pair_merge(words, left, right, new_sym)
+            slab, rm = _init_slab_body(
+                full_words, freqs, vocab_cap=vocab_cap, rows_per=rows_per
+            )
+            return full_words, slab, rm
+
+        branches = [make_branch(c) for c in caps] + [full_branch]
+        words, slab, rm = jax.lax.switch(
+            tier, branches, (words_in, s.slab, rm)
+        )
+        return Shard2DState(
+            core=st2._replace(words=words), slab=slab, row_max=rm
         )
 
     return jax.lax.fori_loop(0, chunk_size, body, state)
@@ -264,6 +407,10 @@ def run_sharded_merge_loop(
     chunk = max(1, min(chunk_size, num_merges))
     core_specs = state_partition_specs()
     if vocab_shards > 1:
+        from yabpe_tpu.train.incremental import pick_affected_cap
+
+        rows_per_shard = table.words.shape[0] // data_shards
+        rows_per_vshard = vocab_cap // vocab_shards
         body = partial(
             _sharded_chunk_2d,
             vocab_cap=vocab_cap,
@@ -271,9 +418,33 @@ def run_sharded_merge_loop(
             num_merges=num_merges,
             chunk_size=chunk,
             vocab_shards=vocab_shards,
+            affected_cap=pick_affected_cap(rows_per_shard),
         )
-        state = core
-        specs = core_specs
+        core = jax.device_put(
+            core,
+            jax.tree.map(
+                lambda s: NamedSharding(mesh, s), core_specs,
+                is_leaf=lambda x: isinstance(x, P),
+            ),
+        )
+        init_fn = jax.jit(
+            shard_map(
+                partial(
+                    _init_slab_body,
+                    vocab_cap=vocab_cap,
+                    rows_per=rows_per_vshard,
+                ),
+                mesh=mesh,
+                in_specs=(core_specs.words, core_specs.freqs),
+                out_specs=(P("vocab"), P("vocab")),
+                check_vma=False,
+            )
+        )
+        slab, row_max = init_fn(core.words, core.freqs)
+        state = Shard2DState(core=core, slab=slab, row_max=row_max)
+        specs = Shard2DState(
+            core=core_specs, slab=P("vocab"), row_max=P("vocab")
+        )
     else:
         from yabpe_tpu.train.incremental import (
             IncState,
@@ -316,11 +487,9 @@ def run_sharded_merge_loop(
     while start < num_merges:
         state = fn(state, jnp.asarray(start, dtype=jnp.int32))
         start += chunk
-        core_out = state.core if vocab_shards == 1 else state
-        if bool(core_out.stopped):
+        if bool(state.core.stopped):
             break
-    core_out = state.core if vocab_shards == 1 else state
-    return np.asarray(core_out.merges)
+    return np.asarray(state.core.merges)
 
 
 __all__ = ["run_sharded_merge_loop", "state_partition_specs"]

@@ -106,6 +106,25 @@ def test_shard_count_invariance(corpus_table, shards):
     assert np.array_equal(single, sharded)
 
 
+@pytest.mark.parametrize("data_shards,vocab_shards", [(2, 2), (1, 4), (4, 2)])
+def test_vocab_shard_invariance(corpus_table, data_shards, vocab_shards):
+    """2D (data, vocab) mesh: the vocab-sharded count table must produce
+    the exact single-device merge sequence for any shard layout."""
+    wt, base = corpus_table
+    single = _single_device_merges(wt, base, 400, 400 - len(base))
+    sharded = run_sharded_merge_loop(
+        wt,
+        base,
+        vocab_cap=400,
+        num_merges=400 - len(base),
+        min_frequency=1,
+        data_shards=data_shards,
+        vocab_shards=vocab_shards,
+        chunk_size=64,
+    )
+    assert np.array_equal(single, sharded)
+
+
 def test_sharded_early_stop():
     counter = Counter({b"ab": 4, b"cd": 2})
     base = Vocab.base([])
