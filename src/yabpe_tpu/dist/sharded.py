@@ -91,13 +91,10 @@ def _sharded_chunk_incremental(
     from yabpe_tpu.kernels.select import select_best_pair
     from yabpe_tpu.train.incremental import (
         IncState,
-        _affected_slots,
-        _pair_delta,
-        _tier_caps,
+        affected_rows_and_tier,
+        pack_merge_delta,
     )
     from yabpe_tpu.train.state import vocab_update
-
-    caps = _tier_caps(affected_cap)
 
     def body(i, s):
         st = s.core
@@ -118,16 +115,10 @@ def _sharded_chunk_incremental(
             st, left, right, do, stopped, rec_idx, vocab_cap
         )
 
-        words_in = st2.words
         freqs = st2.freqs
-        n = words_in.shape[0]
-        l = words_in[:, :-1]
-        r = words_in[:, 1:]
-        affected = jnp.any((l == left) & (r == right) & (l >= 0), axis=1) & do
-        n_aff = jnp.sum(affected.astype(jnp.int32))
-        tier_local = jnp.int32(0)
-        for c in caps:
-            tier_local = tier_local + (n_aff > c).astype(jnp.int32)
+        affected, tier_local, caps = affected_rows_and_tier(
+            st2.words, left, right, do, affected_cap
+        )
         # pmax -> identical tier on every device, so the collective inside
         # each switch branch is taken by all devices together.
         tier = jax.lax.pmax(tier_local, "data")
@@ -135,23 +126,13 @@ def _sharded_chunk_incremental(
         def make_branch(cap: int):
             def branch(operands):
                 words, counts = operands
-                idx_buf, val_buf = _affected_slots(affected, cap)
-                safe_idx = jnp.minimum(idx_buf, n - 1)
-                rows = words[safe_idx]
-                f = jnp.where(val_buf, freqs[safe_idx], 0)
-
-                old_keys, old_w = _pair_delta(rows, f, vocab_cap, -1)
-                new_rows = apply_pair_merge(rows, left, right, new_sym)
-                new_keys, new_w = _pair_delta(new_rows, f, vocab_cap, +1)
-
-                keys = jnp.concatenate([old_keys, new_keys])
-                w = jnp.concatenate([old_w, new_w])
+                words, keys, w = pack_merge_delta(
+                    words, freqs, affected, left, right, new_sym,
+                    cap, vocab_cap,
+                )
                 gkeys = jax.lax.all_gather(keys, "data").reshape(-1)
                 gw = jax.lax.all_gather(w, "data").reshape(-1)
                 counts = counts.at[gkeys].add(gw, mode="drop")
-
-                scatter_rows = jnp.where(val_buf[:, None], new_rows, rows)
-                words = words.at[idx_buf].set(scatter_rows, mode="drop")
                 return words, counts
 
             return branch
@@ -167,7 +148,9 @@ def _sharded_chunk_incremental(
             return full_words, jax.lax.psum(local, "data")
 
         branches = [make_branch(c) for c in caps] + [full_branch]
-        words, counts = jax.lax.switch(tier, branches, (words_in, s.counts))
+        words, counts = jax.lax.switch(
+            tier, branches, (st2.words, s.counts)
+        )
         return IncState(core=st2._replace(words=words), counts=counts)
 
     return jax.lax.fori_loop(0, chunk_size, body, state)
@@ -192,29 +175,16 @@ class Shard2DState(NamedTuple):
 
 def _slab_lazy_select(slab, rm, lex_rank, row_lo, rows_per: int, V: int):
     """Exact (count, global-left, right) max within this vocab shard's
-    slab via lazy bound verification; returns the tightened bounds."""
+    slab via lazy bound verification; returns the tightened bounds.
+
+    A thin wrapper over :func:`yabpe_tpu.train.bigvocab.lazy_select_rows`:
+    rows tie-break by the lex ranks of this shard's row slice, columns by
+    the full lex table, and the winning row maps back to its global id.
+    """
+    from yabpe_tpu.train.bigvocab import lazy_select_rows
+
     lex_rows = jax.lax.dynamic_slice(lex_rank, (row_lo,), (rows_per,))
-
-    def cond(carry):
-        return jnp.logical_not(carry[2])
-
-    def body(carry):
-        rm, _, _ = carry
-        m = jnp.max(rm)
-        cand = rm == m
-        a = jnp.argmax(jnp.where(cand, lex_rows, -1)).astype(jnp.int32)
-        row = jax.lax.dynamic_slice(slab, (a * V,), (V,))
-        true_max = jnp.max(row)
-        ok = true_max == m
-        rm = rm.at[a].set(true_max)
-        return (rm, a, ok)
-
-    rm, a, _ = jax.lax.while_loop(
-        cond, body, (rm, jnp.int32(0), jnp.bool_(False))
-    )
-    m = jnp.max(rm)
-    row = jax.lax.dynamic_slice(slab, (a * V,), (V,))
-    b = jnp.argmax(jnp.where(row == m, lex_rank, -1)).astype(jnp.int32)
+    m, a, b, rm = lazy_select_rows(slab, rm, lex_rows, lex_rank, V)
     return m, row_lo + a, b, rm
 
 
@@ -259,14 +229,12 @@ def _sharded_chunk_2d(
     """
     from yabpe_tpu.kernels.merge_apply import apply_pair_merge
     from yabpe_tpu.train.incremental import (
-        _affected_slots,
-        _pair_delta,
-        _tier_caps,
+        affected_rows_and_tier,
+        pack_merge_delta,
     )
     from yabpe_tpu.train.state import vocab_update
 
     rows_per = vocab_cap // vocab_shards
-    caps = _tier_caps(affected_cap)
 
     def body(i, s):
         st = s.core
@@ -302,16 +270,10 @@ def _sharded_chunk_2d(
             st, left, right, do, stopped, rec_idx, vocab_cap
         )
 
-        words_in = st2.words
         freqs = st2.freqs
-        n = words_in.shape[0]
-        l = words_in[:, :-1]
-        r = words_in[:, 1:]
-        affected = jnp.any((l == left) & (r == right) & (l >= 0), axis=1) & do
-        n_aff = jnp.sum(affected.astype(jnp.int32))
-        tier_local = jnp.int32(0)
-        for c in caps:
-            tier_local = tier_local + (n_aff > c).astype(jnp.int32)
+        affected, tier_local, caps = affected_rows_and_tier(
+            st2.words, left, right, do, affected_cap
+        )
         # Words are replicated over "vocab", so tiers already agree along
         # it; pmax over "data" makes every device take the same branch.
         tier = jax.lax.pmax(tier_local, "data")
@@ -321,17 +283,10 @@ def _sharded_chunk_2d(
         def make_branch(cap: int):
             def branch(operands):
                 words, slab, rm = operands
-                idx_buf, val_buf = _affected_slots(affected, cap)
-                safe_idx = jnp.minimum(idx_buf, n - 1)
-                rows = words[safe_idx]
-                f = jnp.where(val_buf, freqs[safe_idx], 0)
-
-                old_keys, old_w = _pair_delta(rows, f, vocab_cap, -1)
-                new_rows = apply_pair_merge(rows, left, right, new_sym)
-                new_keys, new_w = _pair_delta(new_rows, f, vocab_cap, +1)
-
-                keys = jnp.concatenate([old_keys, new_keys])
-                w = jnp.concatenate([old_w, new_w])
+                words, keys, w = pack_merge_delta(
+                    words, freqs, affected, left, right, new_sym,
+                    cap, vocab_cap,
+                )
                 gkeys = jax.lax.all_gather(keys, "data").reshape(-1)
                 gw = jax.lax.all_gather(w, "data").reshape(-1)
 
@@ -349,9 +304,6 @@ def _sharded_chunk_2d(
                 safe = jnp.minimum(lk, slab_oob - 1)
                 vals = jnp.where(in_slab, slab[safe], -1)
                 rm2 = rm.at[safe // vocab_cap].max(vals)
-
-                scatter_rows = jnp.where(val_buf[:, None], new_rows, rows)
-                words = words.at[idx_buf].set(scatter_rows, mode="drop")
                 return words, slab, rm2
 
             return branch
@@ -369,7 +321,7 @@ def _sharded_chunk_2d(
 
         branches = [make_branch(c) for c in caps] + [full_branch]
         words, slab, rm = jax.lax.switch(
-            tier, branches, (words_in, s.slab, rm)
+            tier, branches, (st2.words, s.slab, rm)
         )
         return Shard2DState(
             core=st2._replace(words=words), slab=slab, row_max=rm

@@ -43,6 +43,10 @@ from yabpe_tpu.pretok.patterns import (
 _NO_RANK = np.int32(2**30)
 
 
+class SymbolTableTooLarge(ValueError):
+    """The extended symbol table exceeds the packed uint32 pair-key range."""
+
+
 def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
 
@@ -150,7 +154,7 @@ class DeviceEncoder:
         )
         n_syms = len(sym_bytes)
         if n_syms > 0xFFFF:
-            raise ValueError(
+            raise SymbolTableTooLarge(
                 f"extended symbol table has {n_syms} entries; uint32 pair "
                 "keys support at most 65535"
             )

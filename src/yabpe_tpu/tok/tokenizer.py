@@ -276,7 +276,10 @@ class BBPETokenizer:
         """
         key = data_shards or 1
         if key not in self._device_encoder:
-            from yabpe_tpu.tok.device_encode import DeviceEncoder
+            from yabpe_tpu.tok.device_encode import (
+                DeviceEncoder,
+                SymbolTableTooLarge,
+            )
 
             try:
                 self._device_encoder[key] = DeviceEncoder(
@@ -285,7 +288,9 @@ class BBPETokenizer:
                     special_tokens=self._special_tokens,
                     data_shards=data_shards,
                 )
-            except ValueError:
+            except SymbolTableTooLarge:
+                # Only the oversize case falls back; anything else (e.g. a
+                # mis-configured mesh) propagates to the caller.
                 from yabpe_tpu.utils.logging import get_logger
 
                 get_logger(__name__).warning(

@@ -30,7 +30,6 @@ import numpy as np
 
 from yabpe_tpu.core.vocab import Vocab
 from yabpe_tpu.core.wordtable import WordTable
-from yabpe_tpu.kernels.merge_apply import apply_pair_merge
 from yabpe_tpu.kernels.pair_count import pair_counts_dense
 from yabpe_tpu.train.incremental import pick_affected_cap, tiered_count_update
 from yabpe_tpu.train.state import TrainState, init_state, vocab_update
@@ -42,15 +41,23 @@ class BigState(NamedTuple):
     row_max: jax.Array  # [V] i32 upper bound on each row's max
 
 
-def lazy_select(
-    counts_flat: jax.Array,
+def lazy_select_rows(
+    table_flat: jax.Array,
     row_max: jax.Array,
-    lex_rank: jax.Array,
-    vocab_cap: int,
+    lex_rows: jax.Array,
+    lex_cols: jax.Array,
+    row_width: int,
 ) -> tuple[jax.Array, jax.Array, jax.Array, jax.Array]:
-    """Exact (left, right, count) via bound verification; returns updated
-    row_max with any stale tops tightened."""
-    V = vocab_cap
+    """Exact (count m, row a, col b) maximum of a flattened [rows, width]
+    table via lazy bound verification.
+
+    ``row_max`` is a per-row upper bound; the loop repeatedly picks the
+    lex-greatest row (by ``lex_rows``) whose bound equals the global bound
+    maximum, re-scans just that row, and either confirms or tightens and
+    retries. Columns tie-break by ``lex_cols``. Shared by the single-chip
+    bigvocab table (rows == full vocab) and the vocab-sharded slabs
+    (rows == this shard's slice). Returns the tightened bounds too.
+    """
 
     def cond(carry):
         _, _, ok = carry
@@ -60,8 +67,8 @@ def lazy_select(
         rm, _, _ = carry
         m = jnp.max(rm)
         cand = rm == m
-        a = jnp.argmax(jnp.where(cand, lex_rank, -1)).astype(jnp.int32)
-        row = jax.lax.dynamic_slice(counts_flat, (a * V,), (V,))
+        a = jnp.argmax(jnp.where(cand, lex_rows, -1)).astype(jnp.int32)
+        row = jax.lax.dynamic_slice(table_flat, (a * row_width,), (row_width,))
         true_max = jnp.max(row)
         ok = true_max == m
         rm = rm.at[a].set(true_max)
@@ -71,8 +78,22 @@ def lazy_select(
         cond, body, (row_max, jnp.int32(0), jnp.bool_(False))
     )
     m = jnp.max(row_max)
-    row = jax.lax.dynamic_slice(counts_flat, (a * V,), (V,))
-    b = jnp.argmax(jnp.where(row == m, lex_rank, -1)).astype(jnp.int32)
+    row = jax.lax.dynamic_slice(table_flat, (a * row_width,), (row_width,))
+    b = jnp.argmax(jnp.where(row == m, lex_cols, -1)).astype(jnp.int32)
+    return m, a, b, row_max
+
+
+def lazy_select(
+    counts_flat: jax.Array,
+    row_max: jax.Array,
+    lex_rank: jax.Array,
+    vocab_cap: int,
+) -> tuple[jax.Array, jax.Array, jax.Array, jax.Array]:
+    """Exact (left, right, count) via bound verification; returns updated
+    row_max with any stale tops tightened."""
+    m, a, b, row_max = lazy_select_rows(
+        counts_flat, row_max, lex_rank, lex_rank, vocab_cap
+    )
     return a, b, m, row_max
 
 

@@ -83,6 +83,72 @@ def _tier_caps(affected_cap: int) -> tuple[int, ...]:
     return tuple(caps)
 
 
+def affected_rows_and_tier(
+    words: jax.Array,
+    left: jax.Array,
+    right: jax.Array,
+    gate: jax.Array | bool,
+    affected_cap: int,
+) -> tuple[jax.Array, jax.Array, tuple[int, ...]]:
+    """Rows containing the merged pair, plus the capacity tier they need.
+
+    Returns (affected bool [N], tier scalar, caps). ``tier == len(caps)``
+    means no tier holds them (callers fall back to a full recount).
+    ``gate=False`` empties the affected set, making every consumer a
+    provable no-op.
+    """
+    l = words[:, :-1]
+    r = words[:, 1:]
+    affected = jnp.any((l == left) & (r == right) & (l >= 0), axis=1) & gate
+    n_aff = jnp.sum(affected.astype(jnp.int32))
+    caps = _tier_caps(affected_cap)
+    tier = jnp.int32(0)
+    for c in caps:
+        tier = tier + (n_aff > c).astype(jnp.int32)
+    return affected, tier, caps
+
+
+def pack_merge_delta(
+    words: jax.Array,
+    freqs: jax.Array,
+    affected: jax.Array,
+    left: jax.Array,
+    right: jax.Array,
+    new_sym: jax.Array,
+    cap: int,
+    vocab_cap: int,
+) -> tuple[jax.Array, jax.Array, jax.Array]:
+    """One merge's sparse count delta at a fixed buffer capacity.
+
+    Gathers the ``affected`` rows into a [cap]-slot buffer, applies the
+    merge to them, writes the merged rows back, and packs the old/new
+    adjacent-pair (keys, weights) — the single shared scaffolding used by
+    the single-device tiers and both sharded bodies (which differ only in
+    the collective and the table the keys land in). Empty slots and
+    padding emit out-of-bounds keys with zero weight, so applying the
+    delta is a no-op wherever the buffer is not full. Exact only when the
+    affected rows actually fit ``cap``.
+
+    Returns (new_words, keys [cap*2*(W-1)], weights).
+    """
+    n = words.shape[0]
+    idx_buf, val_buf = _affected_slots(affected, cap)
+    safe_idx = jnp.minimum(idx_buf, n - 1)
+    rows = words[safe_idx]
+    f = jnp.where(val_buf, freqs[safe_idx], 0)
+
+    old_keys, old_w = _pair_delta(rows, f, vocab_cap, -1)
+    new_rows = apply_pair_merge(rows, left, right, new_sym)
+    new_keys, new_w = _pair_delta(new_rows, f, vocab_cap, +1)
+
+    keys = jnp.concatenate([old_keys, new_keys])
+    weights = jnp.concatenate([old_w, new_w])
+
+    scatter_rows = jnp.where(val_buf[:, None], new_rows, rows)
+    new_words = words.at[idx_buf].set(scatter_rows, mode="drop")
+    return new_words, keys, weights
+
+
 def tiered_count_update(
     words: jax.Array,
     freqs: jax.Array,
@@ -106,16 +172,9 @@ def tiered_count_update(
     Returns (words, counts, row_max-or-None).
     """
     V = vocab_cap
-    n = words.shape[0]
-    l = words[:, :-1]
-    r = words[:, 1:]
-    affected = jnp.any((l == left) & (r == right) & (l >= 0), axis=1) & gate
-    n_aff = jnp.sum(affected.astype(jnp.int32))
-
-    caps = _tier_caps(affected_cap)
-    tier = jnp.int32(0)
-    for c in caps:
-        tier = tier + (n_aff > c).astype(jnp.int32)
+    affected, tier, caps = affected_rows_and_tier(
+        words, left, right, gate, affected_cap
+    )
 
     has_rm = row_max is not None
     rm_in = row_max if has_rm else jnp.zeros((1,), jnp.int32)
@@ -123,22 +182,10 @@ def tiered_count_update(
     def make_branch(cap: int):
         def branch(operands):
             words, counts, rm = operands
-            idx_buf, val_buf = _affected_slots(affected, cap)
-            safe_idx = jnp.minimum(idx_buf, n - 1)
-            rows = words[safe_idx]
-            f = jnp.where(val_buf, freqs[safe_idx], 0)
-
-            old_keys, old_w = _pair_delta(rows, f, V, -1)
-            new_rows = apply_pair_merge(rows, left, right, new_sym)
-            new_keys, new_w = _pair_delta(new_rows, f, V, +1)
-
-            keys = jnp.concatenate([old_keys, new_keys])
-            w = jnp.concatenate([old_w, new_w])
+            words, keys, w = pack_merge_delta(
+                words, freqs, affected, left, right, new_sym, cap, V
+            )
             counts = counts.at[keys].add(w, mode="drop")
-
-            scatter_rows = jnp.where(val_buf[:, None], new_rows, rows)
-            words = words.at[idx_buf].set(scatter_rows, mode="drop")
-
             if has_rm:
                 safe = jnp.minimum(keys, V * V - 1)
                 vals = jnp.where(keys < V * V, counts[safe], -1)

@@ -101,25 +101,17 @@ def merge_step(
     vocab_cap: int,
     min_frequency: int,
     count_strategy: str = "dense",
-    counts: jax.Array | None = None,
-    best: tuple[jax.Array, jax.Array, jax.Array] | None = None,
     in_range: jax.Array | bool = True,
 ) -> TrainState:
-    """One BPE merge step.
+    """One BPE merge step (full recount + full-table select).
 
-    Distributed callers may inject either the globally-reduced ``counts``
-    table or the already-selected ``best`` (left, right, count) triple
-    (vocab-sharded path, where no single device holds the full table).
-    ``in_range=False`` makes the step a no-op (nothing written).
+    The reference-shaped small-vocabulary path; the incremental, bigvocab
+    and sharded engines select and update through their own persistent
+    count structures. ``in_range=False`` makes the step a no-op (nothing
+    written).
     """
-    if best is not None:
-        left, right, best_count = best
-    else:
-        if counts is None:
-            counts = count_pairs(
-                state.words, state.freqs, vocab_cap, count_strategy
-            )
-        left, right, best_count = select_best_pair(counts, state.lex_rank, vocab_cap)
+    counts = count_pairs(state.words, state.freqs, vocab_cap, count_strategy)
+    left, right, best_count = select_best_pair(counts, state.lex_rank, vocab_cap)
 
     stop_now = (
         (best_count < max(min_frequency, 1)) | (best_count <= 0)
