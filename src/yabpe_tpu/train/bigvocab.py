@@ -178,16 +178,27 @@ def run_bigvocab_merge_loop(
     num_merges: int,
     min_frequency: int,
     chunk_size: int = 256,
+    core: TrainState | None = None,
+    start_step: int = 0,
+    on_chunk=None,
 ) -> np.ndarray:
-    """Driver: returns the [num_merges, 3] merge record."""
-    core = init_state(table, base_vocab, vocab_cap, num_merges)
+    """Driver: returns the [num_merges, 3] merge record.
+
+    ``core``/``start_step`` support checkpoint resume: pass a state whose
+    words were replayed up to ``start_step`` recorded merges (see
+    yabpe_tpu.train.checkpoint) — the count table and row-max bounds are
+    rebuilt from the replayed words here. ``on_chunk(merges_ids,
+    steps_done)`` is invoked after every chunk for checkpoint saving.
+    """
+    if core is None:
+        core = init_state(table, base_vocab, vocab_cap, num_merges)
     counts = pair_counts_dense(core.words, core.freqs, vocab_cap)
     row_max = jnp.max(counts.reshape(vocab_cap, vocab_cap), axis=1)
     state = BigState(core=core, counts=counts, row_max=row_max)
     affected_cap = pick_affected_cap(int(core.words.shape[0]))
 
     chunk = max(1, min(chunk_size, num_merges))
-    start = 0
+    start = start_step
     while start < num_merges:
         state = merge_chunk_big(
             state,
@@ -199,6 +210,8 @@ def run_bigvocab_merge_loop(
             affected_cap=affected_cap,
         )
         start += chunk
+        if on_chunk is not None:
+            on_chunk(np.asarray(state.core.merges), min(start, num_merges))
         if bool(state.core.stopped):
             break
     return np.asarray(state.core.merges)

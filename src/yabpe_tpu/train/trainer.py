@@ -268,10 +268,32 @@ class BBPETrainer:
                 chunk_size=cfg.merge_chunk_size,
             )
 
-        if vocab_cap > 2048 and not cfg.checkpoint_dir:
+        if vocab_cap > 2048:
             # Large vocabularies: HBM count table + lazy row-max selection
             # (O(V) per step instead of an O(V^2) full-table argmax).
             from yabpe_tpu.train.bigvocab import run_bigvocab_merge_loop
+
+            core = None
+            start = 0
+            saver = None
+            if cfg.checkpoint_dir:
+                loaded = ckpt.load_checkpoint(cfg.checkpoint_dir, cfg)
+                if loaded is not None:
+                    merges_ids, steps_done = loaded
+                    start = min(steps_done, num_merges)
+                    core = ckpt.resume_state(
+                        table, base, vocab_cap, num_merges, merges_ids, start
+                    )
+                    _LOG.info("resumed from checkpoint at merge %d", start)
+                every = max(1, cfg.checkpoint_every_chunks)
+                chunks_seen = [0]
+
+                def saver(merges_ids, steps_done):
+                    chunks_seen[0] += 1
+                    if chunks_seen[0] % every == 0:
+                        ckpt.save_checkpoint(
+                            cfg.checkpoint_dir, merges_ids, steps_done, cfg
+                        )
 
             return run_bigvocab_merge_loop(
                 table,
@@ -280,6 +302,9 @@ class BBPETrainer:
                 num_merges=num_merges,
                 min_frequency=cfg.min_frequency,
                 chunk_size=cfg.merge_chunk_size,
+                core=core,
+                start_step=start,
+                on_chunk=saver,
             )
 
         chunk = max(1, min(cfg.merge_chunk_size, num_merges))

@@ -273,6 +273,42 @@ def test_checkpoint_resume_matches_uninterrupted(tmp_path: Path):
     assert resumed.vocab == full.vocab
 
 
+def test_checkpoint_resume_bigvocab_path(tmp_path: Path):
+    """Kill-and-resume through the large-vocabulary (bigvocab) engine
+    (vocab_cap > 2048) must also produce the identical model."""
+    from yabpe_tpu.train import checkpoint as ckpt
+    import numpy as np
+
+    src = DATA / "sample.txt"
+    kw = dict(
+        vocab_size=2300,
+        min_frequency=1,
+        max_workers=1,
+        special_tokens=[],
+        merge_chunk_size=16,
+        use_native_loop=False,
+        use_fused_kernel=False,
+    )
+    full = BBPETrainer(BBPETrainerConfig(**kw)).train([src])
+
+    ckdir = tmp_path / "ck"
+    cfg = BBPETrainerConfig(
+        **kw, checkpoint_dir=str(ckdir), checkpoint_every_chunks=1
+    )
+    tr = BBPETrainer(cfg)
+    tr.train([src])
+    loaded = ckpt.load_checkpoint(ckdir, cfg)
+    assert loaded is not None
+    merges_ids, steps = loaded
+    truncated = np.full_like(merges_ids, -1)
+    truncated[:25] = merges_ids[:25]
+    ckpt.save_checkpoint(ckdir, truncated, 25, cfg)
+
+    resumed = BBPETrainer(cfg).train([src])
+    assert resumed.merges == full.merges
+    assert resumed.vocab == full.vocab
+
+
 def test_checkpoint_fingerprint_mismatch_ignored(tmp_path: Path):
     from yabpe_tpu.train import checkpoint as ckpt
 
