@@ -57,6 +57,11 @@ def lazy_select_rows(
     retries. Columns tie-break by ``lex_cols``. Shared by the single-chip
     bigvocab table (rows == full vocab) and the vocab-sharded slabs
     (rows == this shard's slice). Returns the tightened bounds too.
+
+    (A batched variant — re-scan the k lex-greatest candidates per
+    iteration — was measured slower at a 32k vocabulary: the extra
+    per-iteration argmax/scatter/take ops cost more than the iterations
+    they save, and lax.top_k lowers to a full sort on TPU.)
     """
 
     def cond(carry):
