@@ -38,6 +38,25 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--vocab-shards", type=int, default=1)
     p.add_argument("--ingest-processes", action="store_true")
     p.add_argument("--profile-dir", default=None, help="write a jax.profiler trace")
+    p.add_argument(
+        "--checkpoint-dir",
+        default=None,
+        help="save mid-training merge checkpoints here and resume from "
+        "them on restart",
+    )
+    p.add_argument(
+        "--checkpoint-every-chunks",
+        type=int,
+        default=4,
+        help="checkpoint save cadence, in merge chunks",
+    )
+    p.add_argument(
+        "--engine",
+        choices=["auto", "native", "device"],
+        default="auto",
+        help="merge-loop engine: auto-routed (default), the C++ host "
+        "loop, or the XLA/Pallas device loop",
+    )
     return p
 
 
@@ -50,6 +69,7 @@ def main(argv: list[str] | None = None) -> int:
     specials = (
         args.special_tokens if args.special_tokens is not None else ["<|endoftext|>"]
     )
+    use_native = {"auto": None, "native": True, "device": False}[args.engine]
     cfg = BBPETrainerConfig(
         vocab_size=args.vocab_size,
         min_frequency=args.min_frequency,
@@ -62,6 +82,9 @@ def main(argv: list[str] | None = None) -> int:
         vocab_shards=args.vocab_shards,
         ingest_processes=args.ingest_processes,
         align_chunks_to_newline=True,
+        checkpoint_dir=args.checkpoint_dir,
+        checkpoint_every_chunks=args.checkpoint_every_chunks,
+        use_native_loop=use_native,
     )
     trainer = BBPETrainer(cfg)
 
