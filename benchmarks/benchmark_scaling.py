@@ -10,9 +10,10 @@ raw wall clock:
    training run is shard-invariant).
 2. **Per-chip work**: XLA compiles one per-device SPMD module; its cost
    analysis (flops / bytes accessed) should scale ~1/N with data shards,
-   while the psum'd pair-count table (the collective payload) stays
-   O(vocab_cap) per step — the ingredients of the >= 80% bytes/s scaling
-   target in BASELINE.json.
+   while the collective payload per step is only the tier-sized sparse
+   merge delta all-gathered over the data axis (the count table itself
+   never moves) — the ingredients of the >= 80% bytes/s scaling target in
+   BASELINE.json.
 
 Run on the 8-device virtual mesh:
     JAX_PLATFORMS=cpu YABPE_BACKEND=cpu \
