@@ -91,11 +91,8 @@ def _per_device_cost(table, base, vocab_cap, num_merges) -> None:
         _sharded_chunk_incremental,
         state_partition_specs,
     )
-    from yabpe_tpu.train.incremental import (
-        IncState,
-        init_counts,
-        pick_affected_cap,
-    )
+    from yabpe_tpu.train.bigvocab import BigState
+    from yabpe_tpu.train.incremental import init_counts, pick_affected_cap
     from yabpe_tpu.train.state import init_state
 
     import jax.numpy as jnp
@@ -107,11 +104,17 @@ def _per_device_cost(table, base, vocab_cap, num_merges) -> None:
         padded = table.pad_rows_to(_round_up(table.words.shape[0], shards))
         core = init_state(padded, base, vocab_cap, num_merges)
         rows_per_shard = padded.words.shape[0] // shards
-        state = IncState(
+        counts0 = init_counts(core.words, core.freqs, vocab_cap=vocab_cap)
+        state = BigState(
             core=core,
-            counts=init_counts(core.words, core.freqs, vocab_cap=vocab_cap),
+            counts=counts0,
+            row_max=jnp.max(
+                counts0.reshape(vocab_cap, vocab_cap), axis=1
+            ),
         )
-        specs = IncState(core=state_partition_specs(), counts=P())
+        specs = BigState(
+            core=state_partition_specs(), counts=P(), row_max=P()
+        )
         state = jax.device_put(
             state,
             jax.tree.map(

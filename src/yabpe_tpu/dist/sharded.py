@@ -68,16 +68,17 @@ def _sharded_chunk_incremental(
     affected_cap: int,
 ):
     """Incremental chunk body: replicated count table + all-gathered
-    sparse deltas.
+    sparse deltas + lazy row-max selection.
 
-    ``state`` is an IncState whose ``counts`` leaf is replicated and whose
-    word rows are data-sharded. Each step, every device packs the delta
-    keys/weights from its local affected rows into a fixed-capacity buffer
-    and the buffers are ``all_gather``ed over ``data`` — a few hundred KB
-    on the wire instead of the dense [V, V] table (4 GB at a 32k
-    vocabulary) the previous psum design moved every step. Every device
-    then applies the identical global update list to its replica, so the
-    table stays bitwise-equal everywhere.
+    ``state`` is a BigState whose ``counts``/``row_max`` leaves are
+    replicated and whose word rows are data-sharded. Each step, every
+    device packs the delta keys/weights from its local affected rows into
+    a fixed-capacity buffer and the buffers are ``all_gather``ed over
+    ``data`` — a few hundred KB on the wire instead of the dense [V, V]
+    table (4 GB at a 32k vocabulary) the previous psum design moved every
+    step. Every device then applies the identical global update list to
+    its replica, so the table — and the bigvocab-style row-max bound
+    cache used for O(V) selection — stays bitwise-equal everywhere.
 
     Buffer capacities are tiered (``_tier_caps``): the tier is chosen by
     the pmax of the per-shard affected count, so every device takes the
@@ -88,13 +89,14 @@ def _sharded_chunk_incremental(
     loop carries no full-state masking copies.
     """
     from yabpe_tpu.kernels.merge_apply import apply_pair_merge
-    from yabpe_tpu.kernels.select import select_best_pair
+    from yabpe_tpu.train.bigvocab import BigState, lazy_select
     from yabpe_tpu.train.incremental import (
-        IncState,
         affected_rows_and_tier,
         pack_merge_delta,
     )
     from yabpe_tpu.train.state import vocab_update
+
+    oob = vocab_cap * vocab_cap
 
     def body(i, s):
         st = s.core
@@ -102,8 +104,8 @@ def _sharded_chunk_incremental(
         in_range = step < num_merges
         rec_idx = jnp.minimum(step, num_merges - 1)
 
-        left, right, best_count = select_best_pair(
-            s.counts, st.lex_rank, vocab_cap
+        left, right, best_count, rm = lazy_select(
+            s.counts, s.row_max, st.lex_rank, vocab_cap
         )
         stop_now = (
             (best_count < max(min_frequency, 1)) | (best_count <= 0)
@@ -125,7 +127,7 @@ def _sharded_chunk_incremental(
 
         def make_branch(cap: int):
             def branch(operands):
-                words, counts = operands
+                words, counts, rm = operands
                 words, keys, w = pack_merge_delta(
                     words, freqs, affected, left, right, new_sym,
                     cap, vocab_cap,
@@ -133,7 +135,11 @@ def _sharded_chunk_incremental(
                 gkeys = jax.lax.all_gather(keys, "data").reshape(-1)
                 gw = jax.lax.all_gather(w, "data").reshape(-1)
                 counts = counts.at[gkeys].add(gw, mode="drop")
-                return words, counts
+                # Tighten-on-increase for the replicated bound cache.
+                safe = jnp.minimum(gkeys, oob - 1)
+                vals = jnp.where(gkeys < oob, counts[safe], -1)
+                rm = rm.at[safe // vocab_cap].max(vals)
+                return words, counts, rm
 
             return branch
 
@@ -141,17 +147,21 @@ def _sharded_chunk_incremental(
             # Only reachable when do is True on some shard; do is
             # replicated, so it is True everywhere and the ungated apply
             # and recount are correct on every shard.
-            words, counts = operands
-            del counts
+            words, counts, rm = operands
+            del counts, rm
             full_words = apply_pair_merge(words, left, right, new_sym)
             local = pair_counts_dense(full_words, freqs, vocab_cap)
-            return full_words, jax.lax.psum(local, "data")
+            counts = jax.lax.psum(local, "data")
+            rm = jnp.max(counts.reshape(vocab_cap, vocab_cap), axis=1)
+            return full_words, counts, rm
 
         branches = [make_branch(c) for c in caps] + [full_branch]
-        words, counts = jax.lax.switch(
-            tier, branches, (st2.words, s.counts)
+        words, counts, rm = jax.lax.switch(
+            tier, branches, (st2.words, s.counts, rm)
         )
-        return IncState(core=st2._replace(words=words), counts=counts)
+        return BigState(
+            core=st2._replace(words=words), counts=counts, row_max=rm
+        )
 
     return jax.lax.fori_loop(0, chunk_size, body, state)
 
@@ -398,11 +408,8 @@ def run_sharded_merge_loop(
             core=core_specs, slab=P("vocab"), row_max=P("vocab")
         )
     else:
-        from yabpe_tpu.train.incremental import (
-            IncState,
-            init_counts,
-            pick_affected_cap,
-        )
+        from yabpe_tpu.train.bigvocab import BigState
+        from yabpe_tpu.train.incremental import init_counts, pick_affected_cap
 
         rows_per_shard = table.words.shape[0] // data_shards
         body = partial(
@@ -413,11 +420,13 @@ def run_sharded_merge_loop(
             chunk_size=chunk,
             affected_cap=pick_affected_cap(rows_per_shard),
         )
-        state = IncState(
+        counts0 = init_counts(core.words, core.freqs, vocab_cap=vocab_cap)
+        state = BigState(
             core=core,
-            counts=init_counts(core.words, core.freqs, vocab_cap=vocab_cap),
+            counts=counts0,
+            row_max=jnp.max(counts0.reshape(vocab_cap, vocab_cap), axis=1),
         )
-        specs = IncState(core=core_specs, counts=P())
+        specs = BigState(core=core_specs, counts=P(), row_max=P())
 
     state = jax.device_put(
         state,
