@@ -350,6 +350,8 @@ def run_sharded_merge_loop(
     data_shards: int,
     vocab_shards: int = 1,
     chunk_size: int = 256,
+    resume: tuple[np.ndarray, int] | None = None,
+    on_chunk=None,
 ) -> np.ndarray:
     """Run the merge loop sharded over a (data[, vocab]) mesh.
 
@@ -357,6 +359,9 @@ def run_sharded_merge_loop(
     table is additionally sharded by left-symbol rows. Returns the
     [num_merges, 3] merge record (host numpy), identical to the
     single-device loop's output for any shard configuration.
+    ``resume=(merges_ids, steps_done)`` replays a checkpoint before
+    continuing; ``on_chunk(merges_ids, steps_done)`` fires after every
+    chunk for checkpoint saving.
     """
     if vocab_shards > 1:
         mesh = make_2d_mesh(data_shards, vocab_shards)
@@ -364,7 +369,17 @@ def run_sharded_merge_loop(
     else:
         mesh = make_data_mesh(data_shards)
     table = table.pad_rows_to(_round_up(table.words.shape[0], data_shards))
-    core = init_state(table, base_vocab, vocab_cap, num_merges)
+    start_step = 0
+    if resume is not None:
+        from yabpe_tpu.train.checkpoint import resume_state
+
+        merges_ids, steps_done = resume
+        start_step = min(int(steps_done), num_merges)
+        core = resume_state(
+            table, base_vocab, vocab_cap, num_merges, merges_ids, start_step
+        )
+    else:
+        core = init_state(table, base_vocab, vocab_cap, num_merges)
 
     chunk = max(1, min(chunk_size, num_merges))
     core_specs = state_partition_specs()
@@ -444,10 +459,12 @@ def run_sharded_merge_loop(
         donate_argnums=(0,),
     )
 
-    start = 0
+    start = start_step
     while start < num_merges:
         state = fn(state, jnp.asarray(start, dtype=jnp.int32))
         start += chunk
+        if on_chunk is not None:
+            on_chunk(np.asarray(state.core.merges), min(start, num_merges))
         if bool(state.core.stopped):
             break
     return np.asarray(state.core.merges)

@@ -183,19 +183,27 @@ def run_bigvocab_merge_loop(
     num_merges: int,
     min_frequency: int,
     chunk_size: int = 256,
-    core: TrainState | None = None,
-    start_step: int = 0,
+    resume: tuple[np.ndarray, int] | None = None,
     on_chunk=None,
 ) -> np.ndarray:
     """Driver: returns the [num_merges, 3] merge record.
 
-    ``core``/``start_step`` support checkpoint resume: pass a state whose
-    words were replayed up to ``start_step`` recorded merges (see
-    yabpe_tpu.train.checkpoint) — the count table and row-max bounds are
-    rebuilt from the replayed words here. ``on_chunk(merges_ids,
-    steps_done)`` is invoked after every chunk for checkpoint saving.
+    ``resume=(merges_ids, steps_done)`` rebuilds the state by replaying
+    the recorded merges (yabpe_tpu.train.checkpoint); the count table and
+    row-max bounds are then recomputed from the replayed words here.
+    ``on_chunk(merges_ids, steps_done)`` is invoked after every chunk for
+    checkpoint saving.
     """
-    if core is None:
+    start_step = 0
+    if resume is not None:
+        from yabpe_tpu.train.checkpoint import resume_state
+
+        merges_ids, steps_done = resume
+        start_step = min(int(steps_done), num_merges)
+        core = resume_state(
+            table, base_vocab, vocab_cap, num_merges, merges_ids, start_step
+        )
+    else:
         core = init_state(table, base_vocab, vocab_cap, num_merges)
     counts = pair_counts_dense(core.words, core.freqs, vocab_cap)
     row_max = jnp.max(counts.reshape(vocab_cap, vocab_cap), axis=1)

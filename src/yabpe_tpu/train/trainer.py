@@ -187,6 +187,7 @@ class BBPETrainer:
         if cfg.data_shards and cfg.data_shards > 1:
             from yabpe_tpu.dist.sharded import run_sharded_merge_loop
 
+            resume, saver = self._checkpoint_hooks()
             merges_ids = run_sharded_merge_loop(
                 table,
                 base,
@@ -196,6 +197,8 @@ class BBPETrainer:
                 data_shards=cfg.data_shards,
                 vocab_shards=cfg.vocab_shards,
                 chunk_size=cfg.merge_chunk_size,
+                resume=resume,
+                on_chunk=saver,
             )
         else:
             merges_ids = self._run_single_device(
@@ -203,6 +206,33 @@ class BBPETrainer:
             )
 
         return train_state.merges_to_bytes(merges_ids, base)
+
+    def _checkpoint_hooks(self):
+        """(resume, saver) for checkpointed runs, (None, None) otherwise.
+
+        ``resume`` is the loaded (merges_ids, steps_done) tuple or None;
+        ``saver`` is an on_chunk callback enforcing the configured save
+        cadence.
+        """
+        cfg = self.config
+        if not cfg.checkpoint_dir:
+            return None, None
+        from yabpe_tpu.train import checkpoint as ckpt
+
+        resume = ckpt.load_checkpoint(cfg.checkpoint_dir, cfg)
+        if resume is not None:
+            _LOG.info("resuming from checkpoint at merge %d", resume[1])
+        every = max(1, cfg.checkpoint_every_chunks)
+        chunks_seen = [0]
+
+        def saver(merges_ids, steps_done):
+            chunks_seen[0] += 1
+            if chunks_seen[0] % every == 0:
+                ckpt.save_checkpoint(
+                    cfg.checkpoint_dir, merges_ids, steps_done, cfg
+                )
+
+        return resume, saver
 
     def _multihost(self) -> bool:
         """True when running under jax.distributed with >1 processes (and
@@ -273,28 +303,7 @@ class BBPETrainer:
             # (O(V) per step instead of an O(V^2) full-table argmax).
             from yabpe_tpu.train.bigvocab import run_bigvocab_merge_loop
 
-            core = None
-            start = 0
-            saver = None
-            if cfg.checkpoint_dir:
-                loaded = ckpt.load_checkpoint(cfg.checkpoint_dir, cfg)
-                if loaded is not None:
-                    merges_ids, steps_done = loaded
-                    start = min(steps_done, num_merges)
-                    core = ckpt.resume_state(
-                        table, base, vocab_cap, num_merges, merges_ids, start
-                    )
-                    _LOG.info("resumed from checkpoint at merge %d", start)
-                every = max(1, cfg.checkpoint_every_chunks)
-                chunks_seen = [0]
-
-                def saver(merges_ids, steps_done):
-                    chunks_seen[0] += 1
-                    if chunks_seen[0] % every == 0:
-                        ckpt.save_checkpoint(
-                            cfg.checkpoint_dir, merges_ids, steps_done, cfg
-                        )
-
+            resume, saver = self._checkpoint_hooks()
             return run_bigvocab_merge_loop(
                 table,
                 base,
@@ -302,8 +311,7 @@ class BBPETrainer:
                 num_merges=num_merges,
                 min_frequency=cfg.min_frequency,
                 chunk_size=cfg.merge_chunk_size,
-                core=core,
-                start_step=start,
+                resume=resume,
                 on_chunk=saver,
             )
 

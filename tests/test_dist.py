@@ -125,6 +125,36 @@ def test_vocab_shard_invariance(corpus_table, data_shards, vocab_shards):
     assert np.array_equal(single, sharded)
 
 
+def test_sharded_checkpoint_resume(corpus_table, tmp_path):
+    """Kill-and-resume through the data-sharded loop must reproduce the
+    uninterrupted sharded (and single-device) merge sequence."""
+    from yabpe_tpu import BBPETrainerConfig
+    from yabpe_tpu.train import checkpoint as ckpt
+
+    cfg = BBPETrainerConfig(
+        vocab_size=400, min_frequency=1, special_tokens=["<|endoftext|>"]
+    )
+    wt, base = corpus_table
+    num = 400 - len(base)
+    full = run_sharded_merge_loop(
+        wt, base, vocab_cap=400, num_merges=num, min_frequency=1,
+        data_shards=4, chunk_size=32,
+    )
+
+    # Simulate a crash at merge 40: persist a truncated checkpoint and
+    # resume the sharded loop from it.
+    truncated = np.full_like(full, -1)
+    truncated[:40] = full[:40]
+    ckpt.save_checkpoint(tmp_path, truncated, 40, cfg)
+    loaded = ckpt.load_checkpoint(tmp_path, cfg)
+    assert loaded is not None
+    resumed = run_sharded_merge_loop(
+        wt, base, vocab_cap=400, num_merges=num, min_frequency=1,
+        data_shards=4, chunk_size=32, resume=loaded,
+    )
+    assert np.array_equal(resumed, full)
+
+
 def test_sharded_early_stop():
     counter = Counter({b"ab": 4, b"cd": 2})
     base = Vocab.base([])
