@@ -210,6 +210,18 @@ def test_safe_cut_points_invariants(tmp_path):
     assert safe_cut_points(nows, 1024, []) == [(0, 10000)]
 
 
+def test_encode_file_invalid_utf8_raises_positioned(tok, tmp_path):
+    """encode_file must raise the positioned ValueError for invalid UTF-8
+    (and release its native encoder handles on the error path)."""
+    p = tmp_path / "bad.txt"
+    data = b"valid text here " * 300 + b"\xff\xfe" + b" tail" * 10
+    p.write_bytes(data)
+    with pytest.raises(ValueError, match="invalid UTF-8"):
+        tok.encode_file(p, max_workers=2, chunk_bytes=1024)
+    # The tokenizer must remain fully usable afterwards.
+    assert tok.decode(tok.encode("still works")) == "still works"
+
+
 def test_encode_iterable_streams(tok):
     with open(DATA / "sample.txt", encoding="utf-8") as f:
         streamed = list(tok.encode_iterable(f))
