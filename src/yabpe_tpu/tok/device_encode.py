@@ -304,39 +304,63 @@ class DeviceEncoder:
     def _encode_word_rows(
         self, encoded: list[bytes]
     ) -> list[tuple[int, ...]]:
-        """Encode unique pre-token byte strings via the device kernel."""
-        out: list[tuple[int, ...]] = []
-        for start in range(0, len(encoded), self._max_rows):
-            batch = encoded[start : start + self._max_rows]
-            width = max(_round_up(max(len(b) for b in batch), 16), 2)
-            # Bucket row counts to powers of two to bound jit recompiles.
+        """Encode unique pre-token byte strings via the device kernel.
+
+        Words are sorted by length before batching so that long outliers
+        cluster into one tile instead of inflating every batch's width,
+        and both tile dimensions are bucketed to powers of two — the whole
+        workload compiles a couple of (rows, width) kernel shapes instead
+        of one per batch (each recompile costs seconds; the scan itself is
+        ~1 ms per tile).
+        """
+        order = sorted(range(len(encoded)), key=lambda i: len(encoded[i]))
+        out: list[tuple[int, ...] | None] = [None] * len(encoded)
+
+        # Phase 1: dispatch every tile's scan before reading any result
+        # back — JAX dispatch is async, so all tiles compute (and their
+        # device->host copies queue) while the host packs the next tile,
+        # instead of paying a full link round trip per tile.
+        scan = self._sharded_scan or _scan_encode
+        pending: list[tuple[list[int], int, jax.Array]] = []
+        for start in range(0, len(order), self._max_rows):
+            batch_idx = order[start : start + self._max_rows]
+            max_len = len(encoded[batch_idx[-1]])  # length-sorted
+            width = 32
+            while width < max_len:
+                width *= 2
             rows = 128
-            while rows < len(batch):
+            while rows < len(batch_idx):
                 rows *= 2
             rows = _round_up(rows, self._data_shards)
             tile = np.full((rows, width), PAD, dtype=np.int32)
-            for i, b in enumerate(batch):
+            for i, idx in enumerate(batch_idx):
+                b = encoded[idx]
                 tile[i, : len(b)] = np.frombuffer(b, dtype=np.uint8)
-            scan = self._sharded_scan or _scan_encode
-            result = np.asarray(
-                scan(
-                    jnp.asarray(tile),
-                    self._sorted_keys,
-                    self._sorted_ranks,
-                    self._sorted_new_syms,
-                    self._n_syms_dev,
-                )
-            )[: len(batch)]
+            result = scan(
+                jnp.asarray(tile),
+                self._sorted_keys,
+                self._sorted_ranks,
+                self._sorted_new_syms,
+                self._n_syms_dev,
+            )
+            # uint16 with sentinel 0xFFFF halves the transfer (symbol ids
+            # are < n_syms <= 65535, so 0xFFFF is never a valid id).
+            packed = jnp.where(result >= 0, result, 0xFFFF).astype(jnp.uint16)
+            pending.append((batch_idx, len(batch_idx), packed))
+
+        # Phase 2: read back and unpack.
+        for batch_idx, n, packed in pending:
+            result = np.asarray(packed)[:n]
             # Vectorized row extraction: boolean-mask flatten preserves
             # row-major order, so one gather + cumsum slicing replaces a
             # per-row numpy loop.
-            valid = result >= 0
+            valid = result != 0xFFFF
             flat = self._out_ids[np.where(valid, result, 0)][valid].tolist()
             lens = valid.sum(axis=1)
             offsets = np.cumsum(lens).tolist()
             prev = 0
-            for offset in offsets:
-                out.append(tuple(flat[prev:offset]))
+            for offset, i in zip(offsets, batch_idx):
+                out[i] = tuple(flat[prev:offset])
                 prev = offset
         return out
 
