@@ -316,18 +316,15 @@ class BBPETrainer:
             )
 
         chunk = max(1, min(cfg.merge_chunk_size, num_merges))
+        resume, saver = self._checkpoint_hooks()
         start = 0
-        core = None
-        if cfg.checkpoint_dir:
-            loaded = ckpt.load_checkpoint(cfg.checkpoint_dir, cfg)
-            if loaded is not None:
-                merges_ids, steps_done = loaded
-                start = min(steps_done, num_merges)
-                core = ckpt.resume_state(
-                    table, base, vocab_cap, num_merges, merges_ids, start
-                )
-                _LOG.info("resumed from checkpoint at merge %d", start)
-        if core is None:
+        if resume is not None:
+            merges_ids, steps_done = resume
+            start = min(int(steps_done), num_merges)
+            core = ckpt.resume_state(
+                table, base, vocab_cap, num_merges, merges_ids, start
+            )
+        else:
             core = train_state.init_state(table, base, vocab_cap, num_merges)
 
         state = inc.IncState(
@@ -336,7 +333,6 @@ class BBPETrainer:
         )
         affected_cap = inc.pick_affected_cap(int(core.words.shape[0]))
 
-        chunks_since_save = 0
         while start < num_merges:
             state = inc.merge_chunk_incremental(
                 state,
@@ -348,17 +344,8 @@ class BBPETrainer:
                 affected_cap=affected_cap,
             )
             start += chunk
-            chunks_since_save += 1
-            if cfg.checkpoint_dir and chunks_since_save >= max(
-                1, cfg.checkpoint_every_chunks
-            ):
-                ckpt.save_checkpoint(
-                    cfg.checkpoint_dir,
-                    np.asarray(state.core.merges),
-                    min(start, num_merges),
-                    cfg,
-                )
-                chunks_since_save = 0
+            if saver is not None:
+                saver(np.asarray(state.core.merges), min(start, num_merges))
             if bool(state.core.stopped):
                 break
         return np.asarray(state.core.merges)
