@@ -210,6 +210,32 @@ def test_safe_cut_points_invariants(tmp_path):
     assert safe_cut_points(nows, 1024, []) == [(0, 10000)]
 
 
+def test_encode_file_randomized_property(tok, tmp_path):
+    """Randomized corpora with exotic whitespace and specials: chunked
+    encode_file must equal serial encode for every seed and chunk size."""
+    import random
+
+    import numpy as np
+
+    ws_pool = [" ", "\n", "\t", "\r\n", "\n\n", " ", " ", "　",
+               " \n ", "\x1c", "\v\f"]
+    word_pool = ["alpha", "βήτα", "東京", "mid-word", "don't", "123", "!!",
+                 "<|endoftext|>", "🚀", "x" * 40, "-" * 25]
+    for seed in range(6):
+        rng = random.Random(seed)
+        pieces = []
+        for _ in range(4000):
+            pieces.append(rng.choice(word_pool))
+            pieces.append(rng.choice(ws_pool))
+        text = "".join(pieces)
+        p = tmp_path / f"r{seed}.txt"
+        p.write_text(text, encoding="utf-8")
+        expected = np.asarray(tok.encode(text), dtype=np.int32)
+        chunk = rng.choice([512, 1024, 4096])
+        got = tok.encode_file(p, max_workers=2, chunk_bytes=chunk)
+        assert np.array_equal(got, expected), (seed, chunk)
+
+
 def test_encode_file_invalid_utf8_raises_positioned(tok, tmp_path):
     """encode_file must raise the positioned ValueError for invalid UTF-8
     (and release its native encoder handles on the error path)."""
