@@ -75,7 +75,7 @@ def _tier_caps(affected_cap: int) -> tuple[int, ...]:
     count, and past the top tier to the full recount.
     """
     caps = []
-    c = 512
+    c = 128
     while c < affected_cap:
         caps.append(c)
         c *= 8
