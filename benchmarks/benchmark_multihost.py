@@ -1,0 +1,206 @@
+"""Multi-host ingestion scaling benchmark (real 2-process jax.distributed).
+
+BASELINE.json's north star asks for >= 80% bytes/s scaling efficiency at
+>= 2 hosts. No second host is reachable from this sandbox, so this
+harness runs the REAL multi-host code path — ``jax.distributed`` with two
+processes, round-robin file sharding, raw word-table all-gather + union
+(yabpe_tpu.dist.ingest.count_pretokens_global) — on two local processes
+with one worker thread each.
+
+Two concurrent memory-bound ingests on ONE box contend for the same DRAM
+(measured ~2x per-process slowdown), which real separate hosts do not,
+so the per-host ingest time is measured in ISOLATION (one process, one
+shard, one worker) and only the cross-host table exchange/union — the
+part that is genuinely concurrent communication on a pod — is taken from
+the 2-process jax.distributed run:
+
+    efficiency = t_full_corpus / (n_hosts * (t_shard_isolated + t_union))
+
+Usage:
+    python benchmarks/benchmark_multihost.py [corpus] [n_bytes]
+(defaults: a generated ~64 MB two-file corpus under /tmp)
+"""
+
+from __future__ import annotations
+
+import os
+import socket
+import subprocess
+import sys
+import time
+from pathlib import Path
+
+REPO = Path(__file__).resolve().parent.parent
+sys.path.insert(0, str(REPO / "src"))
+
+
+_WORKER = r"""
+import json, os, sys, time
+sys.path.insert(0, {src!r})
+pid = int(sys.argv[1])
+import jax
+jax.distributed.initialize(coordinator_address="localhost:{port}",
+                           num_processes=2, process_id=pid)
+from yabpe_tpu import native
+from yabpe_tpu.dist.ingest import _allgather_table, shard_files
+from yabpe_tpu.pretok.ingest import count_pretokens_raw
+mine = shard_files({files!r}, pid, 2)
+t0 = time.perf_counter()
+local = count_pretokens_raw(mine, ["<|endoftext|>"],
+                            chunk_size_bytes=32 * 1024 * 1024,
+                            max_workers=1, align_to_newline=True)
+t_ingest = time.perf_counter() - t0
+t0 = time.perf_counter()
+tables = _allgather_table(*local)
+root = native.NativeCounter()
+for blob, lens, counts in tables:
+    root.add_table(blob, lens, counts)
+words, lens, counts = root.export()
+root.close()
+t_union = time.perf_counter() - t0
+print("RESULT", json.dumps({{"pid": pid, "ingest": t_ingest,
+                             "union": t_union,
+                             "uniques": int(len(lens)),
+                             "total": int(counts.sum())}}), flush=True)
+"""
+
+
+def _gen_corpus(path: Path, n_bytes: int, seed: int) -> None:
+    import random
+
+    rng = random.Random(seed)
+    words = [
+        "".join(rng.choice("abcdefghijklmnopqrstuvwxyz")
+                for _ in range(rng.randint(2, 9)))
+        for _ in range(20000)
+    ]
+    with open(path, "w", encoding="utf-8") as f:
+        written = 0
+        while written < n_bytes:
+            line = " ".join(rng.choices(words, k=12)) + "\n"
+            f.write(line)
+            written += len(line)
+
+
+def main() -> int:
+    from yabpe_tpu import native
+    from yabpe_tpu.pretok.ingest import count_pretokens_raw
+
+    if not native.available():
+        print("native scanner unavailable; multihost ingest needs it")
+        return 1
+
+    if len(sys.argv) > 1 and not sys.argv[1].isdigit():
+        files = [sys.argv[1], sys.argv[2] if len(sys.argv) > 2 else sys.argv[1]]
+    else:
+        n_bytes = int(sys.argv[1]) if len(sys.argv) > 1 else 32 * 1024 * 1024
+        files = []
+        for i in range(2):
+            p = Path(f"/tmp/yabpe_mh_{i}.txt")
+            if not p.exists() or abs(p.stat().st_size - n_bytes) > n_bytes // 8:
+                _gen_corpus(p, n_bytes, seed=i)
+            files.append(str(p))
+
+    total_bytes = sum(os.path.getsize(f) for f in files)
+
+    # Warm the allocator pool and code paths first: this sandbox faults in
+    # fresh anonymous memory at ~7 MB/s, so a cold first ingest measures
+    # the host's paging, not the scanner (see utils/hostmem.py).
+    from yabpe_tpu.utils import hostmem
+
+    hostmem.warm_heap(1024)
+    count_pretokens_raw(
+        [files[0]], ["<|endoftext|>"], chunk_size_bytes=32 * 1024 * 1024,
+        max_workers=1, align_to_newline=True,
+    )
+
+    # Single-process reference: one worker thread over the full corpus.
+    t0 = time.perf_counter()
+    single = count_pretokens_raw(
+        files, ["<|endoftext|>"], chunk_size_bytes=32 * 1024 * 1024,
+        max_workers=1, align_to_newline=True,
+    )
+    t_single = time.perf_counter() - t0
+    print(
+        f"single process (1 worker): {t_single:.2f}s = "
+        f"{total_bytes / t_single / 1e6:.1f} MB/s, "
+        f"{len(single[1])} uniques"
+    )
+
+    # Isolated per-host ingest: shard 0 alone, one worker (real hosts do
+    # not share DRAM, so contended concurrent timing would understate them).
+    from yabpe_tpu.dist.ingest import shard_files
+
+    shard0 = shard_files(files, 0, 2)
+    shard0_bytes = sum(os.path.getsize(f) for f in shard0)
+    t0 = time.perf_counter()
+    count_pretokens_raw(
+        shard0, ["<|endoftext|>"], chunk_size_bytes=32 * 1024 * 1024,
+        max_workers=1, align_to_newline=True,
+    )
+    t_shard = time.perf_counter() - t0
+    print(
+        f"isolated per-host shard ingest: {t_shard:.2f}s = "
+        f"{shard0_bytes / t_shard / 1e6:.1f} MB/s"
+    )
+
+    # Two real jax.distributed processes: table exchange/union timing.
+    with socket.socket() as sock:
+        sock.bind(("localhost", 0))
+        port = sock.getsockname()[1]
+    script = _WORKER.format(src=str(REPO / "src"), port=port, files=files)
+    env = dict(os.environ)
+    env.pop("PALLAS_AXON_POOL_IPS", None)
+    env["JAX_PLATFORMS"] = "cpu"
+    env["YABPE_BACKEND"] = "cpu"
+    procs = [
+        subprocess.Popen(
+            [sys.executable, "-c", script, str(p)],
+            stdout=subprocess.PIPE,
+            stderr=subprocess.DEVNULL,
+            env=env,
+        )
+        for p in range(2)
+    ]
+    import json
+
+    results = {}
+    for proc in procs:
+        out, _ = proc.communicate(timeout=600)
+        if proc.returncode != 0:
+            print("worker failed:", out.decode()[-500:])
+            return 1
+        for line in out.decode().splitlines():
+            if line.startswith("RESULT "):
+                rec = json.loads(line[len("RESULT "):])
+                results[rec["pid"]] = rec
+
+    # The allgather is a barrier: the host that finishes ingest FIRST spends
+    # part of its "union" timer waiting for the straggler. The last-arriving
+    # host waits ~0, so its union time is the true exchange+union cost.
+    last = max(results.values(), key=lambda r: r["ingest"])
+    t_union = last["union"]
+    for pid in sorted(results):
+        r = results[pid]
+        print(
+            f"host {pid}: ingest {r['ingest']:.2f}s (contended; not used), "
+            f"table exchange+union {r['union']:.2f}s"
+            f"{' (incl. barrier wait)' if r is not last else ''} "
+            f"(global: {r['uniques']} uniques, {r['total']} tokens)"
+        )
+    assert results[0]["uniques"] == results[1]["uniques"]
+    assert results[0]["total"] == results[1]["total"]
+    assert results[0]["total"] == int(single[2].sum()), "table mismatch"
+
+    t_host = t_shard + t_union
+    eff = t_single / (2 * t_host)
+    print(
+        f"per-host critical path {t_host:.2f}s (ingest {t_shard:.2f} + "
+        f"union {t_union:.2f}) -> bytes/s scaling efficiency "
+        f"{eff * 100:.0f}% (>= 80% is the BASELINE.json target)"
+    )
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

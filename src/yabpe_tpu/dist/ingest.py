@@ -39,29 +39,28 @@ def _allgather_table(
     import jax
     from jax.experimental import multihost_utils
 
-    # Ragged across hosts: gather sizes first, pad to the global max.
-    sizes = np.array([len(blob), len(lens)], dtype=np.int64)
+    # Ragged across hosts: gather sizes first, then ONE packed payload
+    # (lens | counts | blob as raw bytes) padded to the global max — a
+    # single collective instead of one per field.
+    lens = np.ascontiguousarray(lens, dtype=np.int32)
+    counts = np.ascontiguousarray(counts, dtype=np.int64)
+    payload = lens.tobytes() + counts.tobytes() + blob
+    sizes = np.array([len(blob), len(lens), len(payload)], dtype=np.int64)
     all_sizes = np.asarray(multihost_utils.process_allgather(sizes))
-    max_blob = int(all_sizes[:, 0].max())
-    max_words = int(all_sizes[:, 1].max())
+    max_payload = int(all_sizes[:, 2].max())
 
-    blob_pad = np.zeros(max_blob, dtype=np.uint8)
-    blob_pad[: len(blob)] = np.frombuffer(blob, dtype=np.uint8)
-    lens_pad = np.zeros(max_words, dtype=np.int32)
-    lens_pad[: len(lens)] = lens
-    counts_pad = np.zeros(max_words, dtype=np.int64)
-    counts_pad[: len(counts)] = counts
-
-    all_blob = np.asarray(multihost_utils.process_allgather(blob_pad))
-    all_lens = np.asarray(multihost_utils.process_allgather(lens_pad))
-    all_counts = np.asarray(multihost_utils.process_allgather(counts_pad))
+    packed = np.zeros(max_payload, dtype=np.uint8)
+    packed[: len(payload)] = np.frombuffer(payload, dtype=np.uint8)
+    all_packed = np.asarray(multihost_utils.process_allgather(packed))
 
     out = []
     for p in range(jax.process_count()):
         nb, nw = int(all_sizes[p, 0]), int(all_sizes[p, 1])
-        out.append(
-            (all_blob[p, :nb].tobytes(), all_lens[p, :nw], all_counts[p, :nw])
-        )
+        raw = all_packed[p]
+        lens_p = np.frombuffer(raw[: 4 * nw].tobytes(), dtype=np.int32)
+        counts_p = np.frombuffer(raw[4 * nw : 12 * nw].tobytes(), dtype=np.int64)
+        blob_p = raw[12 * nw : 12 * nw + nb].tobytes()
+        out.append((blob_p, lens_p, counts_p))
     return out
 
 
