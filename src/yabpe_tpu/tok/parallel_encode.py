@@ -234,6 +234,13 @@ def encode_file_parallel(
     or a process pool (pure-Python fallback). ``symbol_tables`` optionally
     carries the caller's precomputed (live, out_ids) extended-symbol
     tables so repeated calls skip rebuilding them."""
+    # Bulk entry point: tune the allocator like the trainer does
+    # (train/trainer.py) — the output id arrays and the word cache are
+    # large, and hosts with lazily-provisioned memory otherwise pay the
+    # first-touch cost on every chunk (see utils/hostmem.py).
+    from yabpe_tpu.utils.hostmem import tune_malloc
+
+    tune_malloc()
     path = Path(path)
     chunking.ensure_exists(path)
     spans = safe_cut_points(path, chunk_bytes, special_tokens)
