@@ -229,11 +229,14 @@ def encode_file_parallel(
     max_workers: int | None = None,
     chunk_bytes: int = 4 * 1024 * 1024,
     symbol_tables=None,
+    encoder_pool: list | None = None,
 ) -> np.ndarray:
     """Encode a whole file exactly, fanned out over worker threads (native)
     or a process pool (pure-Python fallback). ``symbol_tables`` optionally
     carries the caller's precomputed (live, out_ids) extended-symbol
-    tables so repeated calls skip rebuilding them."""
+    tables so repeated calls skip rebuilding them; ``encoder_pool`` a
+    persistent list of native encoders whose word caches stay warm across
+    calls (see _encode_spans_threaded)."""
     # Bulk entry point: tune the allocator like the trainer does
     # (train/trainer.py) — the output id arrays and the word cache are
     # large, and hosts with lazily-provisioned memory otherwise pay the
@@ -252,7 +255,7 @@ def encode_file_parallel(
     if native.available():
         return _encode_spans_threaded(
             path, spans, vocab, merges, special_tokens, max_workers,
-            symbol_tables,
+            symbol_tables, encoder_pool,
         )
 
     # Pure-Python fallback: process pool beats the GIL-bound regex engine.
@@ -279,8 +282,16 @@ def _encode_spans_threaded(
     special_tokens: list[str],
     max_workers: int,
     symbol_tables=None,
+    encoder_pool: list | None = None,
 ) -> np.ndarray:
-    """Thread fan-out with one native encoder handle per worker."""
+    """Thread fan-out with one native encoder handle per worker.
+
+    ``encoder_pool`` optionally carries the caller's persistent encoders:
+    each worker thread claims one by index (growing the pool on demand)
+    and its word cache stays warm across calls — without it, every
+    encode_file call would re-pay the corpus's unique-word cost. Pooled
+    encoders are not closed here; they belong to the caller.
+    """
     import threading
 
     if symbol_tables is not None:
@@ -297,16 +308,26 @@ def _encode_spans_threaded(
     sp_ids = [vocab.get(b, -1) for b in sp_bytes]
 
     local = threading.local()
-    encoders: list[native.NativeEncoder] = []
+    owned: list[native.NativeEncoder] = []
     enc_lock = threading.Lock()
+    next_idx = [0]
 
     def encoder() -> native.NativeEncoder:
         e = getattr(local, "enc", None)
         if e is None:
-            e = native.NativeEncoder(live, out_ids)
-            local.enc = e
             with enc_lock:
-                encoders.append(e)
+                if encoder_pool is not None:
+                    i = next_idx[0]
+                    next_idx[0] += 1
+                    while len(encoder_pool) <= i:
+                        encoder_pool.append(
+                            native.NativeEncoder(live, out_ids)
+                        )
+                    e = encoder_pool[i]
+                else:
+                    e = native.NativeEncoder(live, out_ids)
+                    owned.append(e)
+            local.enc = e
         return e
 
     def work(span: tuple[int, int]) -> np.ndarray:
@@ -324,7 +345,7 @@ def _encode_spans_threaded(
             with ThreadPoolExecutor(max_workers=workers) as pool:
                 parts = list(pool.map(work, spans))
     finally:
-        for e in encoders:
+        for e in owned:
             e.close()
     return np.concatenate(parts)
 

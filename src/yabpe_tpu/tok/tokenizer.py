@@ -78,6 +78,9 @@ class BBPETokenizer:
         # built lazily by encode_batch(device=True), keyed by shard count
         self._device_encoder: dict[int, object] = {}
         self._native_encoder = None  # built lazily by encode()
+        # Persistent native encoders for encode_file worker threads: word
+        # caches stay warm across calls (grown on demand, freed with self).
+        self._file_encoder_pool: list = []
         self._symbol_tables_cache = None
 
     @classmethod
@@ -264,6 +267,7 @@ class BBPETokenizer:
             max_workers=max_workers,
             chunk_bytes=chunk_bytes,
             symbol_tables=tables,
+            encoder_pool=self._file_encoder_pool,
         )
 
     def _get_device_encoder(self, data_shards: int | None = None):
@@ -331,6 +335,8 @@ class BBPETokenizer:
         self._encode_short_cached.cache_clear()
         if self._native_encoder is not None:
             self._native_encoder.cache_clear()
+        for enc in self._file_encoder_pool:
+            enc.cache_clear()
 
     def cache_info(self) -> str:
         info = self._encode_word_cached.cache_info()

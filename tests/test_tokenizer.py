@@ -155,6 +155,30 @@ def test_encode_file_parallel_exact(tok, tmp_path):
     assert np.array_equal(got, expected)
 
 
+def test_encode_file_encoder_pool_reused(tok, tmp_path):
+    """Repeated encode_file calls must reuse the persistent encoder pool
+    (warm word caches across calls) and stay byte-identical, including
+    after clear_cache()."""
+    import numpy as np
+
+    from yabpe_tpu import native
+
+    base = (DATA / "sample.txt").read_text(encoding="utf-8")
+    p = tmp_path / "corpus.txt"
+    p.write_text(base * 20, encoding="utf-8")
+    first = tok.encode_file(p, max_workers=2, chunk_bytes=4096)
+    if native.available():
+        pool = tok._file_encoder_pool
+        assert len(pool) >= 1
+        again = tok.encode_file(p, max_workers=2, chunk_bytes=4096)
+        assert tok._file_encoder_pool is pool  # same pool object, reused
+        assert len(pool) <= 2  # one encoder per worker thread, not per call
+        assert np.array_equal(first, again)
+    tok.clear_cache()
+    assert np.array_equal(first, tok.encode_file(p, max_workers=2,
+                                                 chunk_bytes=4096))
+
+
 def test_encode_file_exact_across_whitespace_runs(tok, tmp_path):
     """Chunk cuts must never split or end inside a whitespace run: GPT-2's
     \\s+(?!\\S) tokenizes a run at end-of-buffer differently from mid-text
