@@ -1319,21 +1319,27 @@ void* yabpe_train(const uint8_t* words_blob, const int32_t* word_lens,
       int32_t wi = affected[ai];
       int32_t* w = t->word_data.data() + t->word_off[(size_t)wi];
       int32_t wl = t->word_len[(size_t)wi];
-      // Find the leftmost occurrence; the index may list words that no
-      // longer contain the pair (staleness), and the prefix before it is
-      // untouched so its pair counts need no update.
-      int32_t first = -1;
+      // Find the leftmost AND rightmost occurrences; the index may list
+      // words that no longer contain the pair (staleness). Only pairs
+      // overlapping [first, last+1] can change: the prefix before the
+      // first occurrence is untouched, and the suffix after the last
+      // occurrence merely shifts left — its pair MULTISET is invariant —
+      // so neither needs count updates (the reference decrements and
+      // re-increments the suffix too, which cancels exactly).
+      int32_t first = -1, last = -1;
       for (int32_t j = 0; j + 1 < wl; ++j) {
         if (w[j] == a && w[j + 1] == b) {
-          first = j;
-          break;
+          if (first < 0) first = j;
+          last = j;
         }
       }
       if (first < 0) continue;
       int64_t f = t->counts[(size_t)wi];
       int32_t lo = first > 0 ? first - 1 : 0;
+      int32_t hi = last + 1 < wl - 1 ? last + 1 : wl - 2;  // last pair idx
+      int32_t tail_elems = wl - (last + 2);  // elements strictly after
       // decrement old pairs in the affected window (mark dirty)
-      for (int32_t j = lo; j + 1 < wl; ++j) {
+      for (int32_t j = lo; j <= hi; ++j) {
         uint64_t key = pkey(w[j], w[j + 1]);
         PairRec* pit = t->pairs.find(key);
         if (pit != nullptr) {
@@ -1348,7 +1354,7 @@ void* yabpe_train(const uint8_t* words_blob, const int32_t* word_lens,
       }
       // in-place leftmost-to-right merge scan (reference trainer.py:276-285)
       int32_t k = first, j = first;
-      while (j < wl) {
+      while (j <= last + 1) {
         if (j + 1 < wl && w[j] == a && w[j + 1] == b) {
           w[k++] = c;
           j += 2;
@@ -1356,10 +1362,16 @@ void* yabpe_train(const uint8_t* words_blob, const int32_t* word_lens,
           w[k++] = w[j++];
         }
       }
-      wl = k;
+      if (tail_elems > 0 && k != j) {
+        memmove(w + k, w + j, (size_t)tail_elems * sizeof(int32_t));
+      }
+      wl = k + tail_elems;
       t->word_len[(size_t)wi] = wl;
-      // increment new pairs in the affected window (and index the word)
-      for (int32_t j2 = lo; j2 + 1 < wl; ++j2) {
+      // increment new pairs in the affected window (and index the word);
+      // the new window ends where the compacted changed region meets the
+      // shifted (unchanged) suffix.
+      int32_t hi2 = k - 1 < wl - 2 ? k - 1 : wl - 2;
+      for (int32_t j2 = lo; j2 <= hi2; ++j2) {
         uint64_t key = pkey(w[j2], w[j2 + 1]);
         PairRec& rec = t->pairs.get_or_insert(key);
         rec.count += f;
