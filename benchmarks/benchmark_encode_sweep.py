@@ -20,7 +20,7 @@ the in-process single-run encode.
 
 Usage:
     python benchmarks/benchmark_encode_sweep.py [n_files] [mb_per_file]
-(defaults: 4 files x 16 MB, generated deterministically under /tmp)
+(defaults: 4 files x 8 MB, generated deterministically under /tmp)
 """
 
 from __future__ import annotations
@@ -40,6 +40,8 @@ _WORKER = r"""
 import json, sys, time
 sys.path.insert(0, {src!r})
 files = json.loads(sys.argv[1])
+from yabpe_tpu.utils.hostmem import tune_malloc
+tune_malloc()  # benchmark process: opt in (library APIs do not)
 from yabpe_tpu.io import gpt2 as gpt2io
 from yabpe_tpu.tok.tokenizer import BBPETokenizer
 tok = BBPETokenizer(
@@ -71,7 +73,15 @@ def _corpus(n_files: int, mb_per_file: float) -> list[str]:
     return files
 
 
-def _run_processes(shards: list[list[str]], vocab: str, merges: str) -> tuple[float, dict]:
+def _run_processes(
+    shards: list[list[str]], vocab: str, merges: str
+) -> tuple[float, float, dict]:
+    """Returns (max worker encode time, wall time incl. startup, results).
+
+    The worker timer excludes interpreter/tokenizer startup (long-lived
+    services on a real pod don't re-pay it per corpus); the wall is the
+    full contended elapsed time.
+    """
     script = _WORKER.format(src=str(REPO / "src"), vocab=vocab, merges=merges)
     env = dict(os.environ)
     env["JAX_PLATFORMS"] = "cpu"
@@ -81,7 +91,7 @@ def _run_processes(shards: list[list[str]], vocab: str, merges: str) -> tuple[fl
         subprocess.Popen(
             [sys.executable, "-c", script, json.dumps(shard)],
             stdout=subprocess.PIPE,
-            stderr=subprocess.DEVNULL,
+            stderr=subprocess.PIPE,
             env=env,
         )
         for shard in shards
@@ -89,19 +99,18 @@ def _run_processes(shards: list[list[str]], vocab: str, merges: str) -> tuple[fl
     per_file: dict = {}
     worker_times = []
     for proc in procs:
-        out, _ = proc.communicate(timeout=1200)
+        out, err = proc.communicate(timeout=1200)
         if proc.returncode != 0:
-            raise RuntimeError("worker failed: " + out.decode()[-500:])
+            raise RuntimeError(
+                "worker failed: " + out.decode()[-200:] + err.decode()[-500:]
+            )
         for line in out.decode().splitlines():
             if line.startswith("RESULT "):
                 rec = json.loads(line[len("RESULT "):])
                 worker_times.append(rec["t"])
                 per_file.update(rec["files"])
     wall = time.perf_counter() - t0
-    # Subtract per-process interpreter/tokenizer startup from the wall by
-    # using the slowest worker's own encode timer (startup overlaps on a
-    # real pod where processes are long-lived services).
-    return max(worker_times), per_file
+    return max(worker_times), wall, per_file
 
 
 def _balanced_shards(files: list[str], n: int) -> list[list[str]]:
@@ -153,7 +162,7 @@ def main() -> int:
             shards = _balanced_shards(files, n_hosts)
             merged: dict = {}
             for si, shard in enumerate(shards):
-                t, per_file = _run_processes([shard], vocab, merges)
+                t, _, per_file = _run_processes([shard], vocab, merges)
                 key = (n_hosts, si)
                 best[key] = min(best.get(key, t), t)
                 merged.update(per_file)
@@ -172,9 +181,9 @@ def main() -> int:
         )
         if n_hosts > 1:
             shards = _balanced_shards(files, n_hosts)
-            t_conc, per_file = _run_processes(shards, vocab, merges)
+            _, t_wall, per_file = _run_processes(shards, vocab, merges)
             assert per_file == oracle, "concurrent encode diverged"
-            line += f" (concurrent-on-one-box wall {t_conc:.2f}s)"
+            line += f" (concurrent-on-one-box wall {t_wall:.2f}s)"
         print(line)
     ntok = sum(v[0] for v in oracle.values())
     print(

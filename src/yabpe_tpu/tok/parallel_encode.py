@@ -234,16 +234,12 @@ def encode_file_parallel(
     """Encode a whole file exactly, fanned out over worker threads (native)
     or a process pool (pure-Python fallback). ``symbol_tables`` optionally
     carries the caller's precomputed (live, out_ids) extended-symbol
-    tables so repeated calls skip rebuilding them; ``encoder_pool`` a
-    persistent list of native encoders whose word caches stay warm across
-    calls (see _encode_spans_threaded)."""
-    # Bulk entry point: tune the allocator like the trainer does
-    # (train/trainer.py) — the output id arrays and the word cache are
-    # large, and hosts with lazily-provisioned memory otherwise pay the
-    # first-touch cost on every chunk (see utils/hostmem.py).
-    from yabpe_tpu.utils.hostmem import tune_malloc
-
-    tune_malloc()
+    tables so repeated calls skip rebuilding them; ``encoder_pool`` an
+    :class:`EncoderPool` whose native encoders' word caches stay warm
+    across calls (see _encode_spans_threaded). No process-wide allocator
+    tuning happens here — per the package policy (yabpe_tpu/__init__.py),
+    library APIs must not impose hostmem.tune_malloc on the host app;
+    bulk CLI/benchmark entry points opt in themselves."""
     path = Path(path)
     chunking.ensure_exists(path)
     spans = safe_cut_points(path, chunk_bytes, special_tokens)
@@ -274,6 +270,55 @@ def encode_file_parallel(
         return np.concatenate([f.result() for f in futures])
 
 
+class EncoderPool:
+    """Persistent native encoders whose word caches stay warm across
+    encode_file calls — without one, every call re-pays the corpus's
+    unique-word BPE cost.
+
+    The pool is bound to one (live, out_ids) symbol-table pair (checked
+    by identity on every claim — reusing a pool with different
+    vocab/merges would silently encode with the wrong ranks). ``claim``
+    hands the WHOLE pool to exactly one encode_file call at a time;
+    a concurrent call on the same pool finds it empty and builds its own
+    transient encoders, so native handles are never shared across
+    threads mid-call.
+    """
+
+    def __init__(self) -> None:
+        import threading
+
+        self._encoders: list = []
+        self._tables: tuple | None = None
+        self._lock = threading.Lock()
+
+    def __len__(self) -> int:
+        with self._lock:
+            return len(self._encoders)
+
+    def claim(self, live, out_ids) -> list:
+        with self._lock:
+            if self._tables is None:
+                self._tables = (live, out_ids)
+            elif (
+                self._tables[0] is not live or self._tables[1] is not out_ids
+            ):
+                raise ValueError(
+                    "EncoderPool is bound to different symbol tables; use a "
+                    "fresh pool per (vocab, merges)"
+                )
+            claimed, self._encoders = self._encoders, []
+            return claimed
+
+    def release(self, encoders: list) -> None:
+        with self._lock:
+            self._encoders.extend(encoders)
+
+    def clear_caches(self) -> None:
+        with self._lock:
+            for enc in self._encoders:
+                enc.cache_clear()
+
+
 def _encode_spans_threaded(
     path: Path,
     spans: list[tuple[int, int]],
@@ -282,15 +327,13 @@ def _encode_spans_threaded(
     special_tokens: list[str],
     max_workers: int,
     symbol_tables=None,
-    encoder_pool: list | None = None,
+    encoder_pool: "EncoderPool | None" = None,
 ) -> np.ndarray:
     """Thread fan-out with one native encoder handle per worker.
 
-    ``encoder_pool`` optionally carries the caller's persistent encoders:
-    each worker thread claims one by index (growing the pool on demand)
-    and its word cache stays warm across calls — without it, every
-    encode_file call would re-pay the corpus's unique-word cost. Pooled
-    encoders are not closed here; they belong to the caller.
+    With ``encoder_pool``, worker threads claim persistent encoders by
+    index (growing the claimed list on demand); they are released back
+    to the pool afterwards, not closed.
     """
     import threading
 
@@ -309,6 +352,9 @@ def _encode_spans_threaded(
 
     local = threading.local()
     owned: list[native.NativeEncoder] = []
+    claimed = (
+        encoder_pool.claim(live, out_ids) if encoder_pool is not None else []
+    )
     enc_lock = threading.Lock()
     next_idx = [0]
 
@@ -319,11 +365,9 @@ def _encode_spans_threaded(
                 if encoder_pool is not None:
                     i = next_idx[0]
                     next_idx[0] += 1
-                    while len(encoder_pool) <= i:
-                        encoder_pool.append(
-                            native.NativeEncoder(live, out_ids)
-                        )
-                    e = encoder_pool[i]
+                    while len(claimed) <= i:
+                        claimed.append(native.NativeEncoder(live, out_ids))
+                    e = claimed[i]
                 else:
                     e = native.NativeEncoder(live, out_ids)
                     owned.append(e)
@@ -347,6 +391,8 @@ def _encode_spans_threaded(
     finally:
         for e in owned:
             e.close()
+        if encoder_pool is not None:
+            encoder_pool.release(claimed)
     return np.concatenate(parts)
 
 

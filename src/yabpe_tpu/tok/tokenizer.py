@@ -79,8 +79,8 @@ class BBPETokenizer:
         self._device_encoder: dict[int, object] = {}
         self._native_encoder = None  # built lazily by encode()
         # Persistent native encoders for encode_file worker threads: word
-        # caches stay warm across calls (grown on demand, freed with self).
-        self._file_encoder_pool: list = []
+        # caches stay warm across calls (built lazily, freed with self).
+        self._file_encoder_pool = None
         self._symbol_tables_cache = None
 
     @classmethod
@@ -256,9 +256,14 @@ class BBPETokenizer:
         yabpe_tpu.tok.parallel_encode), so the result is byte-identical to
         ``encode(file_contents)``. Returns an int32 numpy array.
         """
-        from yabpe_tpu.tok.parallel_encode import encode_file_parallel
+        from yabpe_tpu.tok.parallel_encode import (
+            EncoderPool,
+            encode_file_parallel,
+        )
 
         tables = self._symbol_tables() if native.available() else None
+        if self._file_encoder_pool is None:
+            self._file_encoder_pool = EncoderPool()
         return encode_file_parallel(
             path,
             self._vocab,
@@ -335,8 +340,8 @@ class BBPETokenizer:
         self._encode_short_cached.cache_clear()
         if self._native_encoder is not None:
             self._native_encoder.cache_clear()
-        for enc in self._file_encoder_pool:
-            enc.cache_clear()
+        if self._file_encoder_pool is not None:
+            self._file_encoder_pool.clear_caches()
 
     def cache_info(self) -> str:
         info = self._encode_word_cached.cache_info()

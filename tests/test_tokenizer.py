@@ -158,7 +158,8 @@ def test_encode_file_parallel_exact(tok, tmp_path):
 def test_encode_file_encoder_pool_reused(tok, tmp_path):
     """Repeated encode_file calls must reuse the persistent encoder pool
     (warm word caches across calls) and stay byte-identical, including
-    after clear_cache()."""
+    after clear_cache() and under concurrent encode_file calls (which
+    must not share native handles)."""
     import numpy as np
 
     from yabpe_tpu import native
@@ -177,6 +178,36 @@ def test_encode_file_encoder_pool_reused(tok, tmp_path):
     tok.clear_cache()
     assert np.array_equal(first, tok.encode_file(p, max_workers=2,
                                                  chunk_bytes=4096))
+    # Concurrent calls: the pool hands its encoders to one call at a
+    # time; the other builds transient ones. Results must stay exact.
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=4) as ex:
+        futs = [
+            ex.submit(tok.encode_file, p, max_workers=2, chunk_bytes=4096)
+            for _ in range(4)
+        ]
+        for f in futs:
+            assert np.array_equal(first, f.result())
+
+
+def test_encoder_pool_rejects_foreign_tables(tmp_path):
+    """The module-level encoder_pool API must refuse reuse with different
+    vocab/merges (the pooled encoders bake in the first call's ranks)."""
+    import pytest
+
+    from yabpe_tpu import native
+    from yabpe_tpu.tok.parallel_encode import EncoderPool
+
+    if not native.available():
+        pytest.skip("native runtime unavailable")
+    pool = EncoderPool()
+    a = ({(1, 2): (0, 300)}, [0])
+    b = ({(3, 4): (0, 301)}, [1])
+    pool.release(pool.claim(*a))
+    pool.release(pool.claim(*a))  # same tables: fine
+    with pytest.raises(ValueError):
+        pool.claim(*b)
 
 
 def test_encode_file_exact_across_whitespace_runs(tok, tmp_path):
