@@ -979,10 +979,33 @@ void yabpe_encoder_cache_clear(void* h) {
 
 namespace {
 
+// Candidate word indices live inline until they overflow into `spill`:
+// Zipf-tailed pair tables have mostly-rare pairs, so the inline slots
+// absorb the bulk of what used to be one heap allocation per pair (plus
+// a dependent pointer chase on every dedup check). kInline is chosen so
+// the struct fills its 64-byte line exactly.
 struct PairRec {
+  static constexpr int kInline = 6;
   int64_t count = 0;
-  int32_t gen = -1;            // last merge iteration this pair was touched
-  std::vector<int32_t> words;  // candidate word indices (may be stale)
+  int32_t gen = -1;   // last merge iteration this pair was touched
+  int32_t n_inl = 0;  // used entries of inl[]
+  int32_t inl[kInline] = {};
+  std::vector<int32_t> spill;  // overflow candidates (may be stale)
+
+  inline int32_t last_word() const {
+    if (!spill.empty()) return spill.back();
+    return n_inl ? inl[n_inl - 1] : -1;
+  }
+  // Append wi unless it is already the most recent candidate (pushes for
+  // one word are contiguous, so dedup-by-last suffices).
+  inline void add_word(int32_t wi) {
+    if (last_word() == wi) return;
+    if (n_inl < kInline) {
+      inl[n_inl++] = wi;
+    } else {
+      spill.push_back(wi);
+    }
+  }
 };
 
 struct HeapEntry {
@@ -1202,7 +1225,7 @@ void add_word_pairs(Trainer& t, int32_t wi, int64_t f, bool heap_live) {
     uint64_t key = pkey(w[j], w[j + 1]);
     PairRec& rec = t.pairs.get_or_insert(key);
     rec.count += f;
-    if (rec.words.empty() || rec.words.back() != wi) rec.words.push_back(wi);
+    rec.add_word(wi);
     if (heap_live) heap_push(t, key, rec.count);
   }
 }
@@ -1254,6 +1277,7 @@ void* yabpe_train(const uint8_t* words_blob, const int32_t* word_lens,
   heap_rebuild(*t, (size_t)num_merges * 2 + kHeapTarget, floor_min);
 
   std::vector<uint64_t> dirty_scratch;
+  std::vector<int32_t> affected_scratch;
   for (int32_t m = 0; m < num_merges; ++m) {
     // argmax (count, lex-greatest pair) via the lazy heap: pop until the
     // top entry's count matches the pair's live count. The ordering is
@@ -1310,8 +1334,13 @@ void* yabpe_train(const uint8_t* words_blob, const int32_t* word_lens,
     // heap sifts ~70% of training time (gprof, realistic 5 MB corpus).
     std::vector<uint64_t>& dirty = dirty_scratch;
     dirty.clear();
-    std::vector<int32_t> affected;
-    affected.swap(t->pairs.find(best)->words);
+    std::vector<int32_t>& affected = affected_scratch;
+    affected.clear();
+    {
+      PairRec* win = t->pairs.find(best);
+      affected.insert(affected.end(), win->inl, win->inl + win->n_inl);
+      affected.insert(affected.end(), win->spill.begin(), win->spill.end());
+    }
     t->pairs.erase(best);
     const size_t n_aff = affected.size();
     // Two-stage prefetch pipeline: the affected-word visits are the
@@ -1394,9 +1423,7 @@ void* yabpe_train(const uint8_t* words_blob, const int32_t* word_lens,
         uint64_t key = pkey(w[j2], w[j2 + 1]);
         PairRec& rec = t->pairs.get_or_insert(key);
         rec.count += f;
-        if (rec.words.empty() || rec.words.back() != wi) {
-          rec.words.push_back(wi);
-        }
+        rec.add_word(wi);
         if (rec.gen != m) {
           rec.gen = m;
           dirty.push_back(key);
