@@ -43,25 +43,24 @@ def _count_span(
     return Counter({t.encode("utf-8"): c for t, c in str_counts.items()})
 
 
-def _count_span_native(
-    path: str,
-    start: int,
-    end: int,
-    special_tokens: tuple[str, ...],
+def _count_shard_native(
+    shard: list[tuple[str, int, int]],
+    specials: tuple[str, ...],
 ) -> native.NativeCounter:
-    """Native-scanner variant of :func:`_count_span`.
+    """Accumulate a whole span shard into ONE persistent counter.
 
-    The UTF-8 validation decode is kept on the Python side for positioned
-    error parity (reference trainer.py:155-160); the native scanner then
-    works directly on the validated bytes with the GIL released, so thread
-    workers get real host-core parallelism.
+    One counter per worker (not per span) means the Zipf head stays hot
+    in the worker's table across spans and the final fold merges
+    max_workers tables instead of one per chunk — at 1 GB that replaces
+    ~34 counter builds + a tree of ~17+ merges with 2 builds + 1 merge.
     """
-    data = chunking.read_span(path, start, end)
-    if native.utf8_invalid_at(data) >= 0:
-        # Raise the reference-parity positioned ValueError.
-        chunking.decode_span_utf8(data, path, start)
-    counter = native.NativeCounter(special_tokens)
-    counter.add(data)
+    counter = native.NativeCounter(specials)
+    for path, start, end in shard:
+        data = chunking.read_span(path, start, end)
+        if native.utf8_invalid_at(data) >= 0:
+            # Raise the reference-parity positioned ValueError.
+            chunking.decode_span_utf8(data, path, start)
+        counter.add(data)
     return counter
 
 
@@ -70,41 +69,27 @@ def _native_root_counter(
     specials: tuple[str, ...],
     max_workers: int,
 ) -> native.NativeCounter:
-    """Count all spans natively and fold into one counter (tree merge)."""
+    """Count all spans natively and fold into one counter.
+
+    Spans are assigned to workers round-robin (deterministic), so the
+    exported table order is run-to-run stable for a given worker count;
+    the *counts* are worker-count invariant by commutativity either way.
+    """
     # The native scan is CPU-bound with the GIL released; threads beyond
     # the physical cores only add contention.
-    max_workers = min(max_workers, os.cpu_count() or 1)
-    if max_workers <= 1 or len(tasks) == 1:
-        parts = [_count_span_native(*t, specials) for t in tasks]
-        for part in parts[1:]:
-            parts[0].merge(part)
-            part.close()
-        return parts[0]
+    max_workers = min(max_workers, os.cpu_count() or 1, len(tasks))
+    if max_workers <= 1:
+        return _count_shard_native(tasks, specials)
+    shards = [tasks[i::max_workers] for i in range(max_workers)]
     with ThreadPoolExecutor(max_workers=max_workers) as pool:
         futures = [
-            pool.submit(_count_span_native, *t, specials) for t in tasks
+            pool.submit(_count_shard_native, shard, specials)
+            for shard in shards
         ]
         parts = [f.result() for f in futures]
-
-        def _merge_pair(dst: native.NativeCounter, src: native.NativeCounter):
-            dst.merge(src)
-            src.close()
-            return dst
-
-        # Pairwise tree reduction: merges run concurrently (the C merge
-        # releases the GIL), so the fold is O(log n) rounds deep instead
-        # of one serial O(total entries) pass.
-        while len(parts) > 1:
-            nxt = []
-            merge_futures = []
-            for i in range(0, len(parts) - 1, 2):
-                merge_futures.append(
-                    pool.submit(_merge_pair, parts[i], parts[i + 1])
-                )
-            if len(parts) % 2:
-                nxt.append(parts[-1])
-            nxt[0:0] = [f.result() for f in merge_futures]
-            parts = nxt
+    for part in parts[1:]:
+        parts[0].merge(part)
+        part.close()
     return parts[0]
 
 
