@@ -1,5 +1,12 @@
 """Parallel whole-file encoding with pretoken-safe chunk boundaries.
 
+The reference has no parallel file encode (its closest surface is the
+serial ``encode`` driver, /root/reference/src/yet_another_bpe/
+tokenizer.py:152-193, and the line-streamed ``encode_iterable`` adapter,
+tests/adapters.py:30-34); this module adds the pod-scale path under the
+same exactness contract: the result must be byte-identical to
+``encode(whole_file)``.
+
 Encoding must be byte-exact, so files can only be split where no GPT-2
 pre-token can span the cut. A cut is safe exactly at a **non-whitespace →
 whitespace transition** (the cut character is ``\\s``, the character before

@@ -3,6 +3,10 @@
 Packs TrainState into the kernel's VMEM-resident layout, runs chunks, and
 unpacks the merge record. Applicability is gated by a VMEM budget estimate;
 callers fall back to the XLA incremental path when it does not fit.
+Behavioral parity target: the reference merge loop
+(/root/reference/src/yet_another_bpe/trainer.py:216-302) — same argmax
+tie-break, min_frequency stop, leftmost merge scan, and dedup branch,
+pinned by the golden fixtures in tests/test_fused_kernel.py.
 """
 
 from __future__ import annotations
