@@ -27,9 +27,10 @@
 // releases the GIL for the duration of each call).
 
 #include <stdint.h>
+#include <stdio.h>
+#include <stdlib.h>
 #include <stddef.h>
 #include <string.h>
-#include <stdlib.h>
 
 #ifdef __linux__
 #include <sys/mman.h>
@@ -230,17 +231,14 @@ int64_t next_token_end(const uint8_t* text, int64_t n, int64_t i,
 // for word bytes, insertion-ordered entries for deterministic export.
 // ---------------------------------------------------------------------------
 
-// One open-addressing slot, 32 bytes and aligned so a probe costs exactly
-// one memory access (two slots per cache line). Word identity is held
-// inline: w8/w16 are injective packings of the first/second 8 bytes given
-// len (see pack_word8), so words of <= 16 bytes never touch the arena on
-// lookup; longer words memcmp their tail. Counts live in a separate
-// order-indexed array (dense, ~8B per unique word, so L2/L3-resident)
-// rather than in the slot — a count update is then a near-cache access
-// instead of widening the randomly-probed table. len == 0 marks empty.
-// One cache line per word, count INLINE: the counting hot path (existing
-// word) is then a single prefetchable random access — with a separate
-// counts array, `counts[slot.order] += 1` was a second, DEPENDENT random
+// One open-addressing slot: 64 bytes, one per cache line, with the count
+// stored INLINE. Word identity is held inline too: w8/w16 are injective
+// packings of the first/second 8 bytes given len (see pack_word8), so
+// words of <= 16 bytes never touch the arena on lookup; longer words
+// memcmp their tail. len == 0 marks empty. The inline count makes the
+// counting hot path (existing word) a single prefetchable random access —
+// an earlier 32-byte-slot layout kept counts in a separate order-indexed
+// array, but `counts[slot.order] += 1` was a second, DEPENDENT random
 // access that no batch prefetch could cover (measured as the residual
 // latency term of ingest counting).
 struct alignas(64) Slot {
@@ -332,6 +330,11 @@ inline uint64_t hash_wkey(uint64_t w8, uint64_t w16, const uint8_t* tail,
 Slot* alloc_slots(size_t cap) {
   size_t bytes = cap * sizeof(Slot);
   Slot* p = (Slot*)aligned_alloc(64, bytes);
+  if (!p) {
+    fprintf(stderr, "yabpe_native: slot table allocation of %zu bytes failed\n",
+            bytes);
+    abort();  // fail cleanly instead of segfaulting in the memset below
+  }
 #ifdef __linux__
   // Fault via huge pages where possible: ~10x cheaper first touch on
   // lazily-provisioned hosts (see yabpe_tpu.utils.hostmem).
@@ -380,7 +383,13 @@ int64_t counter_upsert(Counter* c, const uint8_t* word, int32_t len,
   if (c->arena_len + (size_t)len > c->arena_cap) {
     size_t ncap = c->arena_cap ? c->arena_cap * 2 : 1 << 20;
     while (ncap < c->arena_len + (size_t)len) ncap *= 2;
-    c->arena = (uint8_t*)realloc(c->arena, ncap);
+    uint8_t* na = (uint8_t*)realloc(c->arena, ncap);
+    if (!na) {
+      fprintf(stderr,
+              "yabpe_native: word arena growth to %zu bytes failed\n", ncap);
+      abort();
+    }
+    c->arena = na;
     c->arena_cap = ncap;
   }
   memcpy(c->arena + c->arena_len, word, len);
@@ -656,6 +665,12 @@ void yabpe_counter_add_table(void* h, const uint8_t* blob,
     int nb = 0;
     size_t mask = c->cap ? c->cap - 1 : 0;
     while (nb < B && i < n_words) {
+      if (lens[i] <= 0) {
+        // A malformed exchanged table entry: pack_word8 would read out of
+        // bounds and a 0-length slot would alias the empty marker. Skip.
+        ++i;
+        continue;
+      }
       Pend& t = pend[nb++];
       t.p = blob + off;
       t.len = lens[i];

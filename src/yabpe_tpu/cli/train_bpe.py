@@ -33,7 +33,7 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--max-workers", type=int, default=8)
     p.add_argument("--chunk-size", type=int, default=20 * 1024 * 1024)
     p.add_argument("--backend", choices=["jax", "numpy"], default="jax")
-    p.add_argument("--count-strategy", choices=["dense", "matmul"], default="dense")
+    p.add_argument("--count-strategy", choices=["dense", "matmul", "auto"], default="dense")
     p.add_argument("--data-shards", type=int, default=None)
     p.add_argument("--vocab-shards", type=int, default=1)
     p.add_argument("--ingest-processes", action="store_true")

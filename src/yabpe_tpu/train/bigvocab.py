@@ -30,9 +30,13 @@ import numpy as np
 
 from yabpe_tpu.core.vocab import Vocab
 from yabpe_tpu.core.wordtable import WordTable
-from yabpe_tpu.kernels.pair_count import pair_counts_dense
 from yabpe_tpu.train.incremental import pick_affected_cap, tiered_count_update
-from yabpe_tpu.train.state import TrainState, init_state, vocab_update
+from yabpe_tpu.train.state import (
+    TrainState,
+    count_pairs,
+    init_state,
+    vocab_update,
+)
 
 
 class BigState(NamedTuple):
@@ -110,6 +114,7 @@ def merge_step_big(
     min_frequency: int,
     affected_cap: int,
     in_range: jax.Array | bool = True,
+    count_strategy: str = "dense",
 ) -> BigState:
     """One merge step: O(V + affected x width) HBM traffic.
 
@@ -136,6 +141,7 @@ def merge_step_big(
     words, counts, rm = tiered_count_update(
         st.words, st.freqs, state.counts, left, right, new_sym,
         vocab_cap=V, affected_cap=affected_cap, gate=do, row_max=row_max,
+        count_strategy=count_strategy,
     )
     return BigState(core=st._replace(words=words), counts=counts, row_max=rm)
 
@@ -148,6 +154,7 @@ def merge_step_big(
         "num_merges",
         "chunk_size",
         "affected_cap",
+        "count_strategy",
     ),
     donate_argnums=(0,),
 )
@@ -160,6 +167,7 @@ def merge_chunk_big(
     num_merges: int,
     chunk_size: int,
     affected_cap: int,
+    count_strategy: str = "dense",
 ) -> BigState:
     def body(i, s):
         step = chunk_start + i
@@ -170,6 +178,7 @@ def merge_chunk_big(
             min_frequency=min_frequency,
             affected_cap=affected_cap,
             in_range=step < num_merges,
+            count_strategy=count_strategy,
         )
 
     return jax.lax.fori_loop(0, chunk_size, body, state)
@@ -185,6 +194,7 @@ def run_bigvocab_merge_loop(
     chunk_size: int = 256,
     resume: tuple[np.ndarray, int] | None = None,
     on_chunk=None,
+    count_strategy: str = "dense",
 ) -> np.ndarray:
     """Driver: returns the [num_merges, 3] merge record.
 
@@ -205,7 +215,7 @@ def run_bigvocab_merge_loop(
         )
     else:
         core = init_state(table, base_vocab, vocab_cap, num_merges)
-    counts = pair_counts_dense(core.words, core.freqs, vocab_cap)
+    counts = count_pairs(core.words, core.freqs, vocab_cap, count_strategy)
     row_max = jnp.max(counts.reshape(vocab_cap, vocab_cap), axis=1)
     state = BigState(core=core, counts=counts, row_max=row_max)
     affected_cap = pick_affected_cap(int(core.words.shape[0]))
@@ -221,6 +231,7 @@ def run_bigvocab_merge_loop(
             num_merges=num_merges,
             chunk_size=chunk,
             affected_cap=affected_cap,
+            count_strategy=count_strategy,
         )
         start += chunk
         if on_chunk is not None:

@@ -13,6 +13,7 @@ from __future__ import annotations
 
 import json
 import hashlib
+import os
 from dataclasses import asdict
 from functools import partial
 from pathlib import Path
@@ -43,9 +44,23 @@ def config_fingerprint(config) -> str:
 def save_checkpoint(
     ckpt_dir: str | Path, merges_ids: np.ndarray, steps_done: int, config
 ) -> None:
+    """Atomically persist the merge record (process 0 only in multi-host).
+
+    Training is replicated-deterministic, so every process holds the same
+    record; only process 0 writes to avoid interleaved writers on a shared
+    filesystem. The tmp file carries the pid so a stray concurrent writer
+    (e.g. two independent single-host runs pointed at one directory) can
+    never interleave inside one file — ``replace`` keeps the final file
+    atomic either way.
+    """
+    try:
+        if jax.process_index() != 0:
+            return
+    except Exception:
+        pass  # uninitialized distributed runtime == single process
     path = Path(ckpt_dir)
     path.mkdir(parents=True, exist_ok=True)
-    tmp = path / "merge_state.tmp.npz"
+    tmp = path / f"merge_state.tmp.{os.getpid()}.npz"
     np.savez(tmp, merges=merges_ids, steps_done=np.int64(steps_done))
     tmp.replace(path / "merge_state.npz")
     meta = {
@@ -65,11 +80,17 @@ def load_checkpoint(
     state_file = path / "merge_state.npz"
     if not meta_file.exists() or not state_file.exists():
         return None
-    meta = json.loads(meta_file.read_text())
-    if meta.get("fingerprint") != config_fingerprint(config):
+    try:
+        meta = json.loads(meta_file.read_text())
+        if meta.get("fingerprint") != config_fingerprint(config):
+            return None
+        data = np.load(state_file)
+        return data["merges"], int(data["steps_done"])
+    except (json.JSONDecodeError, OSError, ValueError, KeyError, EOFError):
+        # A torn/corrupt checkpoint (e.g. killed mid-write before the
+        # atomic replace, or a truncated npz) falls back to a fresh start
+        # instead of crashing the resume path.
         return None
-    data = np.load(state_file)
-    return data["merges"], int(data["steps_done"])
 
 
 @partial(jax.jit, donate_argnums=(0,))

@@ -29,7 +29,11 @@ class BBPETrainerConfig:
         backend: "jax" runs the merge loop as jitted device code (default);
             "numpy" runs the host oracle loop (debugging / cross-checks).
         count_strategy: "dense" (exact scatter-add), "matmul" (MXU one-hot
-            matmul; exact while counts < 2**24), or "auto".
+            matmul; exact while counts < 2**24 — runtime-guarded: a corpus
+            whose pair-count bound reaches 2**24 raises), or "auto" (matmul
+            only where it is both exact and profitable: small vocabularies
+            on TPU; dense otherwise). Resolution happens once per train()
+            in yabpe_tpu.train.state.resolve_count_strategy.
         merge_chunk_size: merge steps executed per jitted chunk; the host
             only syncs the stop flag between chunks.
         ingest_processes: use a process pool for regex-path ingestion

@@ -22,9 +22,9 @@ import jax
 import jax.numpy as jnp
 
 from yabpe_tpu.kernels.merge_apply import apply_pair_merge
-from yabpe_tpu.kernels.pair_count import adjacent_pairs, pair_counts_dense
+from yabpe_tpu.kernels.pair_count import adjacent_pairs
 from yabpe_tpu.kernels.select import select_best_pair
-from yabpe_tpu.train.state import TrainState, vocab_update
+from yabpe_tpu.train.state import TrainState, count_pairs, vocab_update
 
 
 class IncState(NamedTuple):
@@ -32,9 +32,15 @@ class IncState(NamedTuple):
     counts: jax.Array  # [V*V] int32, persistent
 
 
-@partial(jax.jit, static_argnames=("vocab_cap",))
-def init_counts(words: jax.Array, freqs: jax.Array, *, vocab_cap: int) -> jax.Array:
-    return pair_counts_dense(words, freqs, vocab_cap)
+@partial(jax.jit, static_argnames=("vocab_cap", "count_strategy"))
+def init_counts(
+    words: jax.Array,
+    freqs: jax.Array,
+    *,
+    vocab_cap: int,
+    count_strategy: str = "dense",
+) -> jax.Array:
+    return count_pairs(words, freqs, vocab_cap, count_strategy)
 
 
 def _affected_slots(affected: jax.Array, cap: int) -> tuple[jax.Array, jax.Array]:
@@ -161,6 +167,7 @@ def tiered_count_update(
     affected_cap: int,
     gate: jax.Array | bool = True,
     row_max: jax.Array | None = None,
+    count_strategy: str = "dense",
 ) -> tuple[jax.Array, jax.Array, jax.Array | None]:
     """Apply one merge to (words, counts[, row_max]) with tiered buffers.
 
@@ -198,7 +205,7 @@ def tiered_count_update(
         words, counts, rm = operands
         del counts
         full_words = apply_pair_merge(words, left, right, new_sym)
-        counts = pair_counts_dense(full_words, freqs, V)
+        counts = count_pairs(full_words, freqs, V, count_strategy)
         if has_rm:
             rm = jnp.max(counts.reshape(V, V), axis=1)
         return full_words, counts, rm
@@ -218,6 +225,7 @@ def merge_step_incremental(
     min_frequency: int,
     affected_cap: int,
     in_range: jax.Array | bool = True,
+    count_strategy: str = "dense",
 ) -> IncState:
     """One merge step with incremental count maintenance (single device).
 
@@ -241,6 +249,7 @@ def merge_step_incremental(
     words, counts, _ = tiered_count_update(
         st.words, st.freqs, state.counts, left, right, new_sym,
         vocab_cap=vocab_cap, affected_cap=affected_cap, gate=do,
+        count_strategy=count_strategy,
     )
     return IncState(core=st._replace(words=words), counts=counts)
 
@@ -253,6 +262,7 @@ def merge_step_incremental(
         "num_merges",
         "chunk_size",
         "affected_cap",
+        "count_strategy",
     ),
     donate_argnums=(0,),
 )
@@ -265,6 +275,7 @@ def merge_chunk_incremental(
     num_merges: int,
     chunk_size: int,
     affected_cap: int,
+    count_strategy: str = "dense",
 ) -> IncState:
     """Run up to ``chunk_size`` incremental merge steps."""
 
@@ -277,6 +288,7 @@ def merge_chunk_incremental(
             min_frequency=min_frequency,
             affected_cap=affected_cap,
             in_range=step < num_merges,
+            count_strategy=count_strategy,
         )
 
     return jax.lax.fori_loop(0, chunk_size, body, state)

@@ -91,7 +91,54 @@ def count_pairs(
 ) -> jax.Array:
     if strategy == "matmul":
         return pair_counts_matmul(words, freqs, vocab_cap)
+    if strategy != "dense":
+        raise ValueError(
+            f"unknown count_strategy {strategy!r} (resolve 'auto' with "
+            "resolve_count_strategy before tracing)"
+        )
     return pair_counts_dense(words, freqs, vocab_cap)
+
+
+#: No pair count can exceed the corpus's total adjacent-position weight, so
+#: float32 one-hot matmul accumulation is exact strictly below this bound.
+MATMUL_EXACT_BOUND = 2**24
+
+
+def max_possible_pair_count(table: WordTable) -> int:
+    """Upper bound on any pair count: sum of freq * (word_len - 1)."""
+    lens = (table.words >= 0).sum(axis=1).astype(np.int64)
+    return int(np.dot(np.maximum(lens - 1, 0), table.freqs.astype(np.int64)))
+
+
+def resolve_count_strategy(
+    requested: str, table: WordTable, vocab_cap: int, backend: str
+) -> str:
+    """Resolve the configured ``count_strategy`` to "dense" or "matmul".
+
+    "auto" picks the MXU matmul formulation only where it is both exact
+    (every possible count < 2**24) and profitable (small vocabularies on
+    TPU — the matmul costs O(positions * V^2) flops, so it loses to the
+    scatter past a few thousand symbols). An explicit "matmul" request is
+    runtime-guarded: exactness is mandatory (golden-fixture parity), so a
+    corpus that could overflow the f32 accumulation raises instead of
+    silently corrupting counts.
+    """
+    if requested == "dense":
+        return "dense"
+    bound = max_possible_pair_count(table)
+    exact = bound < MATMUL_EXACT_BOUND
+    if requested == "matmul":
+        if not exact:
+            raise ValueError(
+                f"count_strategy='matmul' is not exact for this corpus: the "
+                f"pair-count bound {bound} reaches the f32 accumulation "
+                f"limit {MATMUL_EXACT_BOUND}; use 'dense' or 'auto'"
+            )
+        return "matmul"
+    if requested == "auto":
+        profitable = backend == "tpu" and vocab_cap <= 2048
+        return "matmul" if (exact and profitable) else "dense"
+    raise ValueError(f"unknown count_strategy {requested!r}")
 
 
 def merge_step(
@@ -264,4 +311,7 @@ __all__ = [
     "merge_chunk",
     "merges_to_bytes",
     "count_pairs",
+    "resolve_count_strategy",
+    "max_possible_pair_count",
+    "MATMUL_EXACT_BOUND",
 ]

@@ -286,6 +286,11 @@ class BBPETrainer:
         from yabpe_tpu.train import incremental as inc
 
         cfg = self.config
+        from yabpe_tpu.utils.jaxsetup import effective_backend
+
+        count_strategy = train_state.resolve_count_strategy(
+            cfg.count_strategy, table, vocab_cap, effective_backend()
+        )
         if self._should_use_fused(table, vocab_cap):
             from yabpe_tpu.train.fused_driver import run_fused_merge_loop
 
@@ -313,6 +318,7 @@ class BBPETrainer:
                 chunk_size=cfg.merge_chunk_size,
                 resume=resume,
                 on_chunk=saver,
+                count_strategy=count_strategy,
             )
 
         chunk = max(1, min(cfg.merge_chunk_size, num_merges))
@@ -329,7 +335,12 @@ class BBPETrainer:
 
         state = inc.IncState(
             core=core,
-            counts=inc.init_counts(core.words, core.freqs, vocab_cap=vocab_cap),
+            counts=inc.init_counts(
+                core.words,
+                core.freqs,
+                vocab_cap=vocab_cap,
+                count_strategy=count_strategy,
+            ),
         )
         affected_cap = inc.pick_affected_cap(int(core.words.shape[0]))
 
@@ -342,6 +353,7 @@ class BBPETrainer:
                 num_merges=num_merges,
                 chunk_size=chunk,
                 affected_cap=affected_cap,
+                count_strategy=count_strategy,
             )
             start += chunk
             if saver is not None:

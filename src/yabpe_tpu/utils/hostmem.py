@@ -45,8 +45,11 @@ def _libc() -> ctypes.CDLL | None:
 def tune_malloc() -> bool:
     """Route large allocations through the arena and never trim it.
 
-    Idempotent and cheap; called at package import. Returns True when the
-    tuning was applied.
+    Idempotent and cheap. Opt-in from bulk entry points only (trainer,
+    encode_file, benchmarks) — deliberately NOT called at package import,
+    so host applications that merely import yabpe_tpu keep default glibc
+    allocator behavior (see the NOTE in yabpe_tpu/__init__.py). Returns
+    True when the tuning was applied.
     """
     global _tuned
     if _tuned:

@@ -114,26 +114,110 @@ def test_overlapping_specials_double_eot(gpt2_parts):
     assert tok.encode("<|endoftext|>") == [50256]
 
 
-@pytest.mark.skipif(sys.platform != "linux", reason="rlimit is Linux-only")
-def test_encode_iterable_memory_ceiling(gpt2_tok, tinystories_5m):
-    """Streaming 5 MB line-by-line must not grow RSS by more than ~1 MB."""
-    import resource
+# Hard rlimit memory harness (reference parity:
+# /root/reference/tests/test_tokenizer_gpt2.py:19-36,415-464). The limited
+# region runs in a FRESH subprocess: in a warm parent process, pages freed
+# back to the allocator arena by earlier tests can absorb tens of MB
+# without growing the address space, making any in-process RLIMIT_AS
+# assertion vacuous (and the previous ru_maxrss-delta check was a
+# high-water mark with the same flaw). A cold interpreter + RLIMIT_AS is
+# deterministic: streaming fits the ceiling, whole-file encode crashes.
+_MEMHARNESS = r"""
+import resource, sys
 
-    # Warm all jit/caches outside the measured region.
-    gpt2_tok.clear_cache()
-    with open(tinystories_5m, encoding="utf-8") as f:
-        head = [next(f) for _ in range(5)]
-    for line in head:
-        gpt2_tok.encode(line)
+mode, model_dir, corpus, limit_mb = (
+    sys.argv[1], sys.argv[2], sys.argv[3], int(sys.argv[4])
+)
+sys.path.insert(0, sys.argv[5])
+from yabpe_tpu.io import gpt2 as gpt2io
+from yabpe_tpu import BBPETokenizer
 
-    usage_before = resource.getrusage(resource.RUSAGE_SELF).ru_maxrss  # KiB
-    count = 0
-    with open(tinystories_5m, encoding="utf-8") as f:
-        for _tok_id in gpt2_tok.encode_iterable(f):
+merges = gpt2io.load_gpt2_merges(model_dir + "/gpt2_merges.txt")
+vocab = gpt2io.load_gpt2_vocab(model_dir + "/gpt2_vocab.json")
+tok = BBPETokenizer(vocab=vocab, merges=merges,
+                    special_tokens=["<|endoftext|>"])
+# Warm lazy imports / first-call setup outside the limited region.
+with open(corpus, encoding="utf-8") as f:
+    for _ in range(5):
+        tok.encode(next(f))
+
+with open("/proc/self/statm") as m:
+    vsz = int(m.read().split()[0]) * resource.getpagesize()
+resource.setrlimit(resource.RLIMIT_AS, (vsz + limit_mb * 1024 * 1024, -1))
+
+count = 0
+if mode == "iterable":
+    with open(corpus, encoding="utf-8") as f:
+        for _tok_id in tok.encode_iterable(f):
             count += 1
-    usage_after = resource.getrusage(resource.RUSAGE_SELF).ru_maxrss
-    assert count > 1_000_000
-    # ru_maxrss is a high-water mark; allow modest slack for the LRU cache.
-    assert usage_after - usage_before < 8 * 1024, (
-        f"RSS grew {usage_after - usage_before} KiB during streaming encode"
+else:
+    with open(corpus, encoding="utf-8") as f:
+        contents = f.read()  # the buffered-input cost is part of the mode
+    count = len(tok.encode(contents))
+print("COUNT", count)
+"""
+
+
+def _run_memharness(mode: str, corpus, limit_mb: int):
+    import subprocess
+    from pathlib import Path
+
+    repo = Path(__file__).resolve().parent.parent
+    return subprocess.run(
+        [
+            sys.executable,
+            "-c",
+            _MEMHARNESS,
+            mode,
+            str(LOCAL_FIXTURES / "_memharness_model"),
+            str(corpus),
+            str(limit_mb),
+            str(repo / "src"),
+        ],
+        capture_output=True,
+        text=True,
+        timeout=600,
     )
+
+
+@pytest.fixture(scope="module")
+def memharness_model():
+    import shutil
+
+    d = LOCAL_FIXTURES / "_memharness_model"
+    d.mkdir(exist_ok=True)
+    for src in (
+        REF_FIXTURES / "gpt2_merges.txt",
+        LOCAL_FIXTURES / "gpt2_vocab.json",
+    ):
+        dst = d / src.name
+        if not dst.exists():
+            shutil.copy(src, dst)
+    return d
+
+
+@pytest.mark.skipif(sys.platform != "linux", reason="rlimit is Linux-only")
+def test_encode_iterable_memory_ceiling(memharness_model, tinystories_5m):
+    """Streaming 5 MB line-by-line must survive a HARD RLIMIT_AS ceiling
+    (8 MB over post-warmup address space; the reference's bound is 1 MB
+    over RSS — ours carries the LRU word cache filling during the run).
+    A regression crashes with MemoryError instead of drifting."""
+    res = _run_memharness("iterable", tinystories_5m, 8)
+    assert res.returncode == 0, (
+        f"streaming encode exceeded the memory ceiling:\n{res.stderr[-2000:]}"
+    )
+    count = int(res.stdout.split("COUNT")[-1])
+    assert count > 1_000_000
+
+
+@pytest.mark.skipif(sys.platform != "linux", reason="rlimit is Linux-only")
+def test_encode_memory_usage_exceeds_ceiling(memharness_model, tinystories_5m):
+    """Whole-file encode buffers the full text + ids and MUST blow the
+    same ceiling — proving the harness actually bites (the reference
+    expresses this as an xfail companion, test_tokenizer_gpt2.py:431-446)."""
+    res = _run_memharness("whole", tinystories_5m, 8)
+    assert res.returncode != 0, (
+        "whole-file encode unexpectedly fit the streaming memory ceiling; "
+        "the harness is not enforcing anything"
+    )
+    assert "MemoryError" in res.stderr or res.returncode < 0
