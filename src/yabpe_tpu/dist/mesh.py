@@ -43,6 +43,41 @@ def make_2d_mesh(data_shards: int, vocab_shards: int) -> Mesh:
     return Mesh(grid, ("data", "vocab"))
 
 
+def put_global(tree, shardings):
+    """Place a pytree of host-replicated arrays onto a (possibly
+    multi-process) mesh.
+
+    Single process: plain ``jax.device_put``. Multi-process: every process
+    must hold the SAME host value for every leaf (true for training state —
+    the globally-unioned ingest table is identical everywhere, see
+    yabpe_tpu.dist.ingest); each process then donates its addressable
+    shards via ``jax.make_array_from_callback``, which is the supported
+    construction for arrays spanning non-addressable devices.
+    """
+    import numpy as np
+
+    if jax.process_count() == 1:
+        return jax.device_put(tree, shardings)
+
+    def put_leaf(x, sharding):
+        if isinstance(x, jax.Array) and not x.is_fully_addressable:
+            # Already a global array (e.g. produced by a shard_map on this
+            # mesh); it must already carry the requested layout.
+            if x.sharding != sharding:
+                raise ValueError(
+                    f"global array has sharding {x.sharding}, wanted "
+                    f"{sharding}; cross-process resharding is not supported "
+                    "here"
+                )
+            return x
+        arr = np.asarray(x)
+        return jax.make_array_from_callback(
+            arr.shape, sharding, lambda idx: arr[idx]
+        )
+
+    return jax.tree.map(put_leaf, tree, shardings)
+
+
 def multihost_initialize() -> None:
     """Initialize jax.distributed when running under a multi-host launcher.
 
@@ -56,4 +91,9 @@ def multihost_initialize() -> None:
         jax.distributed.initialize()
 
 
-__all__ = ["make_data_mesh", "make_2d_mesh", "multihost_initialize"]
+__all__ = [
+    "make_data_mesh",
+    "make_2d_mesh",
+    "multihost_initialize",
+    "put_global",
+]

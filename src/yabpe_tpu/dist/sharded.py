@@ -33,7 +33,7 @@ from jax import shard_map
 
 from yabpe_tpu.core.vocab import Vocab
 from yabpe_tpu.core.wordtable import WordTable
-from yabpe_tpu.dist.mesh import make_2d_mesh, make_data_mesh
+from yabpe_tpu.dist.mesh import make_2d_mesh, make_data_mesh, put_global
 from yabpe_tpu.kernels.pair_count import adjacent_pairs, pair_counts_dense
 from yabpe_tpu.train.state import TrainState, init_state
 
@@ -397,7 +397,7 @@ def run_sharded_merge_loop(
             vocab_shards=vocab_shards,
             affected_cap=pick_affected_cap(rows_per_shard),
         )
-        core = jax.device_put(
+        core = put_global(
             core,
             jax.tree.map(
                 lambda s: NamedSharding(mesh, s), core_specs,
@@ -443,7 +443,7 @@ def run_sharded_merge_loop(
         )
         specs = BigState(core=core_specs, counts=P(), row_max=P())
 
-    state = jax.device_put(
+    state = put_global(
         state,
         jax.tree.map(lambda s: NamedSharding(mesh, s), specs,
                      is_leaf=lambda x: isinstance(x, P)),

@@ -298,3 +298,81 @@ def test_multihost_ingest_two_processes(tmp_path):
                 _, pid_s, digest = line.split()
                 digests[int(pid_s)] = digest
     assert digests == {0: want, 1: want}
+
+
+def test_multihost_merge_loop_two_processes(tmp_path):
+    """Real 2-process jax.distributed MERGE LOOP: run_sharded_merge_loop on
+    a global 4-device mesh spanning both processes must produce merges
+    bit-identical to the single-process loop (north star §5.8 — the
+    cross-host training step, not just ingest)."""
+    import hashlib
+    import subprocess
+    import sys
+
+    from yabpe_tpu.pretok.ingest import count_pretokens
+
+    corpus = REF_FIXTURES / "corpus.en"
+    counter = count_pretokens([corpus], ["<|endoftext|>"], max_workers=1)
+    base = Vocab.base(["<|endoftext|>"])
+    wt = WordTable.from_counter(counter)
+    expected = _single_device_merges(wt, base, 400, 400 - len(base))
+    want = hashlib.sha256(np.ascontiguousarray(expected).tobytes()).hexdigest()
+
+    import socket
+
+    with socket.socket() as sock:
+        sock.bind(("localhost", 0))
+        port = sock.getsockname()[1]
+
+    script = tmp_path / "mh_merge.py"
+    script.write_text(
+        "import os, sys\n"
+        f"sys.path.insert(0, {str(Path(__file__).resolve().parents[1] / 'src')!r})\n"
+        "pid = int(sys.argv[1])\n"
+        "import jax\n"
+        f"jax.distributed.initialize(coordinator_address='localhost:{port}',\n"
+        "                           num_processes=2, process_id=pid)\n"
+        "import hashlib\n"
+        "import numpy as np\n"
+        "from yabpe_tpu.core.vocab import Vocab\n"
+        "from yabpe_tpu.core.wordtable import WordTable\n"
+        "from yabpe_tpu.dist.sharded import run_sharded_merge_loop\n"
+        "from yabpe_tpu.pretok.ingest import count_pretokens\n"
+        f"counter = count_pretokens([{str(corpus)!r}], ['<|endoftext|>'],\n"
+        "                          max_workers=1)\n"
+        "base = Vocab.base(['<|endoftext|>'])\n"
+        "wt = WordTable.from_counter(counter)\n"
+        "merges = run_sharded_merge_loop(\n"
+        "    wt, base, vocab_cap=400, num_merges=400 - len(base),\n"
+        "    min_frequency=1, data_shards=4, chunk_size=64)\n"
+        "digest = hashlib.sha256(\n"
+        "    np.ascontiguousarray(merges).tobytes()).hexdigest()\n"
+        "print('DIGEST', pid, digest, flush=True)\n"
+    )
+    env = dict(os.environ)
+    env.pop("PALLAS_AXON_POOL_IPS", None)
+    env["JAX_PLATFORMS"] = "cpu"
+    env["YABPE_BACKEND"] = "cpu"
+    # Two virtual CPU devices per process -> a 4-device global mesh whose
+    # per-step all_gather genuinely crosses the process boundary.
+    env["XLA_FLAGS"] = "--xla_force_host_platform_device_count=2"
+    procs = [
+        subprocess.Popen(
+            [sys.executable, str(script), str(p)],
+            stdout=subprocess.PIPE,
+            stderr=subprocess.STDOUT,
+            env=env,
+        )
+        for p in range(2)
+    ]
+    digests = {}
+    outs = {}
+    for p, proc in enumerate(procs):
+        out, _ = proc.communicate(timeout=300)
+        outs[p] = out.decode()
+        assert proc.returncode == 0, outs[p]
+        for line in outs[p].splitlines():
+            if line.startswith("DIGEST"):
+                _, pid_s, digest = line.split()
+                digests[int(pid_s)] = digest
+    assert digests == {0: want, 1: want}, outs
