@@ -1,0 +1,828 @@
+"""HBM-tiled fused BPE merge-loop kernel: 32k-vocab training on one chip.
+
+The all-VMEM fused kernel (yabpe_tpu.kernels.fused_loop) is capped at
+roughly V <= 1024 / N*W <= 2M. This kernel lifts both caps: the [V, V]
+pair-count table lives in HBM and is touched per step only through
+row-granular DMA windows, while the word table stays VMEM-resident in a
+16-bit interleaved layout. It is the TPU-native analogue of the
+reference's incremental merge loop with inverted-index affected-word
+maintenance (/root/reference/src/yet_another_bpe/trainer.py:216-302), and
+is bit-identical to it (same (count, lexicographically-greatest-pair)
+selection, leftmost non-overlapping application, merged-bytes dedup,
+min-frequency stop).
+
+State (all pallas inputs aliased to outputs; persists across dispatches):
+
+    words    [NR, (W+2)*128] i16 VMEM   interleaved word table: word
+             j = (packed row j//128, lane column j%128); symbol w of the
+             word sits at lane w*128 + j%128; lane blocks W and W+1 hold
+             the word frequency as unsigned 16-bit limbs (lo, hi).
+             Adjacent symbols are 128 lanes apart, so every per-position
+             operation is a STATIC 128-lane shift, and gathering a word's
+             packed row is a sublane-dynamic DMA — the two access patterns
+             Mosaic supports natively (dynamic *lane* indexing is not).
+    row_max  [1, V]  i32 VMEM   upper bound on each table row's max count
+    token_bytes [V, L] i32, token_len/lex_rank [1, V] i32, merges [M, 4]
+    scalars  [1, 8]  i32 SMEM   next_id, stopped, num_done
+    counts   [V, V]  i32 HBM    the dense pair table (DMA windows only)
+
+Per merge step:
+
+1. **select**: global max of `row_max` picks the lex-greatest candidate
+   row; a lazy verify (row DMA + exact max) confirms or tightens the
+   bound and retries — bigvocab's lazy selection moved on-chip, O(V)
+   VMEM work + one 8-row HBM window per verify instead of an O(V^2) scan.
+2. **vocab update**: merged byte string, dedup against live tokens,
+   lex-rank insertion (same construction as the VMEM fused kernel).
+3. **affected words**: one vectorized match pass over the word table
+   yields per-word flags; words are then processed through per-word
+   sublane-window DMAs: leftmost-non-overlapping merge applied in the
+   strided view, and every CHANGED adjacent pair is emitted as a
+   (row=left, col=right, +/-freq) cell — old pairs negative, new pairs
+   positive. Unchanged pairs cancel exactly and are never emitted
+   (the reference's bounded-update-window optimization, exact by the
+   same argument).
+4. **count update**: cells are grouped by table row and applied as
+   [8, V]-window read-modify-write DMAs (one per distinct left symbol,
+   a handful per typical step); `row_max` for every touched row is
+   recomputed exactly from the updated window, so bounds only ever
+   tighten on the rows that matter.
+
+Capacity limits: vocab_cap <= 32768 (i16 symbol ids) and word width
+<= 64 bytes (changed-cell buffers); the driver falls back to the XLA
+bigvocab engine beyond either.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+I16 = jnp.int16
+I32 = jnp.int32
+F32 = jnp.float32
+NEG = -(2**30)
+BIG = 2**30
+
+# scalars layout (SMEM [1, 8])
+_NEXT_ID = 0
+_STOPPED = 1
+_NUM_DONE = 2
+
+
+def _shift_blocks(x: jax.Array, s_blocks: int, fill) -> jax.Array:
+    """Shift lanes right by ``s_blocks * 128`` (static lane concat).
+
+    In the interleaved layout a 128-lane shift moves every word's symbols
+    one position later, so this is the per-position shift primitive.
+    """
+    r, n = x.shape
+    s = s_blocks * 128
+    return jnp.concatenate(
+        [jnp.full((r, s), fill, x.dtype), x[:, : n - s]], axis=1
+    )
+
+
+def _cumsum_blocks(x: jax.Array, nblocks: int) -> jax.Array:
+    """Inclusive cumsum across positions (stride-128 lanes), log-step."""
+    s = 1
+    while s < nblocks:
+        x = x + _shift_blocks(x, s, 0)
+        s *= 2
+    return x
+
+
+def _cummax_blocks(x: jax.Array, nblocks: int) -> jax.Array:
+    s = 1
+    while s < nblocks:
+        x = jnp.maximum(x, _shift_blocks(x, s, NEG))
+        s *= 2
+    return x
+
+
+def _b2i(x: jax.Array) -> jax.Array:
+    return jnp.where(x, jnp.ones_like(x, I32), jnp.zeros_like(x, I32))
+
+
+def _leftmost_nonoverlap_blocks(
+    match: jax.Array, nblocks: int
+) -> jax.Array:
+    """Leftmost non-overlapping True positions along the stride-128 axis.
+
+    ``match`` is [r, nblocks*128] bool with positions 128 lanes apart
+    (each of the 128 interleaved words is independent — runs never span
+    lanes of different ``% 128`` classes because shifts are whole blocks).
+    """
+    r, n = match.shape
+    pos = jax.lax.broadcasted_iota(I32, (r, n), 1) // 128
+    # -1 (not a large negative) so a run starting at position 0 keeps
+    # run_offset == pos: prev_false + 1 == 0 there.
+    last_false = _cummax_blocks(jnp.where(match, -1, pos), nblocks)
+    prev_false = _shift_blocks(last_false, 1, -1)
+    run_offset = pos - (prev_false + 1)
+    return match & (run_offset % 2 == 0)
+
+
+def _butterfly_compact_blocks(
+    vals: jax.Array, keep: jax.Array, nblocks: int, pad: int
+) -> jax.Array:
+    """Stable left-compaction along the stride-128 position axis."""
+    r, n = vals.shape
+    vals = jnp.where(keep, vals, pad)
+    dropped = _b2i(jnp.logical_not(keep))
+    rem = _cumsum_blocks(dropped, nblocks) - dropped
+    rem = jnp.where(keep, rem, 0)
+    s = 1
+    while s < nblocks:
+        sh = s * 128
+        in_vals = jnp.concatenate(
+            [vals[:, sh:], jnp.full((r, sh), pad, vals.dtype)], axis=1
+        )
+        in_rem = jnp.concatenate(
+            [rem[:, sh:], jnp.zeros((r, sh), I32)], axis=1
+        )
+        incoming = (in_rem & s) != 0
+        leaving = (rem & s) != 0
+        vals = jnp.where(incoming, in_vals, jnp.where(leaving, pad, vals))
+        rem = jnp.where(incoming, in_rem - s, jnp.where(leaving, 0, rem))
+        s *= 2
+    return vals
+
+
+def _compact_lanes(vals: jax.Array, keep: jax.Array, pad: int) -> jax.Array:
+    """Stable left-compaction of kept entries along plain lanes ([1, n])."""
+    r, n = vals.shape
+    vals = jnp.where(keep, vals, pad)
+    dropped = _b2i(jnp.logical_not(keep))
+    # inclusive lane cumsum, log-step
+    rem = dropped
+    s = 1
+    while s < n:
+        rem = rem + jnp.concatenate(
+            [jnp.zeros((r, s), I32), rem[:, : n - s]], axis=1
+        )
+        s *= 2
+    rem = rem - dropped
+    rem = jnp.where(keep, rem, 0)
+    s = 1
+    while s < n:
+        in_vals = jnp.concatenate(
+            [vals[:, s:], jnp.full((r, s), pad, vals.dtype)], axis=1
+        )
+        in_rem = jnp.concatenate([rem[:, s:], jnp.zeros((r, s), I32)], axis=1)
+        incoming = (in_rem & s) != 0
+        leaving = (rem & s) != 0
+        vals = jnp.where(incoming, in_vals, jnp.where(leaving, pad, vals))
+        rem = jnp.where(incoming, in_rem - s, jnp.where(leaving, 0, rem))
+        s *= 2
+    return vals
+
+
+def _argmax_lanes(x: jax.Array) -> jax.Array:
+    """First-argmax over lanes of [1, n] -> scalar i32 (int-only)."""
+    n = x.shape[1]
+    m = jnp.max(x)
+    iota = jax.lax.broadcasted_iota(I32, (1, n), 1)
+    return jnp.min(jnp.where(x == m, iota, n)).astype(I32)
+
+
+def _extract_lane(vec_1v: jax.Array, i: jax.Array) -> jax.Array:
+    """vec[0, i] via masked sum (no dynamic lane extraction on TPU)."""
+    n = vec_1v.shape[1]
+    iota = jax.lax.broadcasted_iota(I32, (1, n), 1)
+    return jnp.sum(jnp.where(iota == i, vec_1v, 0)).astype(vec_1v.dtype)
+
+
+def _hbm_loop_kernel(
+    # aliased state (inputs 0..8 -> outputs 0..8)
+    words_in,        # [NR, WL] i16 VMEM
+    row_max_in,      # [1, V] i32 VMEM
+    token_bytes_in,  # [V, L] i32 VMEM
+    token_len_in,    # [1, V] i32 VMEM
+    lex_rank_in,     # [1, V] i32 VMEM
+    merges_in,       # [M, 4] i32 VMEM
+    scalars_in,      # [1, 8] i32 SMEM
+    counts_in,       # [V, V] i32 ANY (HBM)
+    # plain input
+    cfg_ref,         # [1, 4] i32 SMEM: [chunk_start, ...]
+    # outputs (aliases, same order as the aliased inputs)
+    words_ref,
+    row_max_ref,
+    token_bytes_ref,
+    token_len_ref,
+    lex_rank_ref,
+    merges_ref,
+    scalars_ref,
+    counts_ref,
+    # scratch
+    flags_ref,       # [NR, 128] i32 VMEM
+    gwin_ref,        # [8, WL] i16 VMEM   gather window
+    rowwin_ref,      # [8, V] i32 VMEM    count-row RMW window
+    stage_l_ref,     # [A, 128] i32 VMEM  staged cell left syms (-1 empty)
+    stage_r_ref,     # [A, 128] i32 VMEM
+    stage_w_ref,     # [A, 128] i32 VMEM
+    addvecs_ref,     # [R, V] i32 VMEM    per-distinct-row count deltas
+    xrows_ref,       # [R] i32 SMEM       distinct row ids
+    sems,            # DMA semaphores (4,)
+    *,
+    vocab_cap: int,
+    word_width: int,
+    byte_width: int,
+    num_merges: int,
+    chunk_size: int,
+    min_frequency: int,
+    copy_in: bool,
+):
+    V = vocab_cap
+    W = word_width
+    L = byte_width
+    NR = words_in.shape[0]
+    WL = (W + 2) * 128
+    A = stage_l_ref.shape[0]
+    R = addvecs_ref.shape[0]
+    NB = W - 1  # adjacent-pair position blocks
+
+    # VMEM-windowed outputs do not inherit the aliased input's contents
+    # (input and output windows are separate on-chip buffers); copy them
+    # in once, then operate purely on the output refs — the same pattern
+    # as the VMEM fused kernel. The ANY-space counts ref has no window:
+    # with real aliasing both refs ARE the same HBM buffer, so only
+    # interpret mode (no aliasing) must materialize the copy.
+    words_ref[...] = words_in[...]
+    row_max_ref[...] = row_max_in[...]
+    token_bytes_ref[...] = token_bytes_in[...]
+    token_len_ref[...] = token_len_in[...]
+    lex_rank_ref[...] = lex_rank_in[...]
+    merges_ref[...] = merges_in[...]
+    for k in range(4):
+        scalars_ref[0, k] = scalars_in[0, k]
+    if copy_in:
+        cpk = pltpu.make_async_copy(counts_in, counts_ref, sems.at[0])
+        cpk.start()
+        cpk.wait()
+
+    iota_v = jax.lax.broadcasted_iota(I32, (1, V), 1)
+    iota_l = jax.lax.broadcasted_iota(I32, (1, L), 1)
+    iota_wl = jax.lax.broadcasted_iota(I32, (1, WL), 1)
+    iota_nb = iota_wl[:, : NB * 128]
+    chunk_start = cfg_ref[0, 0]
+
+    def row_window_read(rid, buf_ref, sem):
+        base = (rid // 8) * 8
+        cp = pltpu.make_async_copy(
+            counts_ref.at[pl.ds(base, 8), :], buf_ref, sem
+        )
+        cp.start()
+        cp.wait()
+        return base
+
+    def row_window_write(base, buf_ref, sem):
+        cp = pltpu.make_async_copy(
+            buf_ref, counts_ref.at[pl.ds(base, 8), :], sem
+        )
+        cp.start()
+        cp.wait()
+
+    def step_body(step_i, _):
+        step = chunk_start + step_i
+        in_range = step < num_merges
+        rec_idx = jnp.minimum(step, num_merges - 1)
+        stopped = scalars_ref[0, _STOPPED] != 0
+
+        @pl.when(in_range & jnp.logical_not(stopped))
+        def _active_step():
+            next_id = scalars_ref[0, _NEXT_ID]
+            lex = lex_rank_ref[...]
+
+            # ------------------------------------------- select + verify
+            def vcond(c):
+                ok, _, _ = c
+                return jnp.logical_not(ok)
+
+            def vbody(c):
+                rm = row_max_ref[...]
+                m = jnp.max(rm)
+                cand = rm == m
+                a = _argmax_lanes(jnp.where(cand, lex, -1))
+                base = row_window_read(a, rowwin_ref, sems.at[0])
+                row = rowwin_ref[pl.ds(a - base, 1), :]
+                tm = jnp.max(row)
+                ok = (tm == m) | (m <= 0)
+                row_max_ref[...] = jnp.where(iota_v == a, tm, rm)
+                return (ok, a, jnp.minimum(tm, m))
+
+            _, left, best_count = jax.lax.while_loop(
+                vcond, vbody,
+                (jnp.bool_(False), jnp.int32(0), jnp.int32(0)),
+            )
+            # rowwin still holds the confirming window; re-slice the row.
+            best_row = rowwin_ref[pl.ds(left - (left // 8) * 8, 1), :]
+            right = _argmax_lanes(
+                jnp.where(best_row == best_count, lex, -1)
+            )
+
+            stop_now = (best_count < max(min_frequency, 1)) | (
+                best_count <= 0
+            )
+            scalars_ref[0, _STOPPED] = stop_now.astype(I32)
+
+            @pl.when(jnp.logical_not(stop_now))
+            def _do_merge():
+                a = left
+                b = right
+
+                # ------------------------------------------ vocab update
+                # (same construction as the VMEM fused kernel: L x L
+                # shift-select concat, dedup compare, lex-rank insertion)
+                tb_a = token_bytes_ref[pl.ds(a, 1), :]
+                tb_b = token_bytes_ref[pl.ds(b, 1), :]
+                tl = token_len_ref[...]
+                la = _extract_lane(tl, a)
+                lb = _extract_lane(tl, b)
+                shift_sel = iota_l.reshape(L, 1) == (iota_l - la)
+                from_b = jnp.sum(
+                    jnp.where(shift_sel, tb_b.reshape(L, 1), 0), axis=0
+                ).reshape(1, L)
+                merged = jnp.where(
+                    iota_l < la, tb_a,
+                    jnp.where(iota_l < la + lb, from_b, -1),
+                ).astype(I32)
+
+                tb = token_bytes_ref[...]
+                diff = tb != jnp.broadcast_to(merged, (V, L))
+                any_diff = jnp.max(_b2i(diff), axis=1) > 0
+                iota_vl = jax.lax.broadcasted_iota(I32, (V, L), 1)
+                first = jnp.min(
+                    jnp.where(diff, iota_vl, L), axis=1
+                ).astype(I32).reshape(V, 1)
+                sel = iota_vl == first
+                row_val = jnp.sum(jnp.where(sel, tb, 0), axis=1)
+                q_val = jnp.sum(
+                    jnp.where(sel, jnp.broadcast_to(merged, (V, L)), 0),
+                    axis=1,
+                )
+                less = (any_diff & (row_val < q_val)).reshape(1, V)
+                equal = jnp.logical_not(any_diff).reshape(1, V)
+                active = iota_v < next_id
+                eq_active = equal & active
+                exists = jnp.max(_b2i(eq_active)) > 0
+                existing_id = _argmax_lanes(_b2i(eq_active))
+                c = jnp.where(exists, existing_id, next_id).astype(I32)
+
+                grow = jnp.logical_not(exists)
+                insert_rank = jnp.sum(
+                    jnp.where(less & active, 1, 0)
+                ).astype(I32)
+                lexv = lex_rank_ref[...]
+                bumped = jnp.where(
+                    active & (lexv >= insert_rank), lexv + 1, lexv
+                )
+                with_new = jnp.where(iota_v == next_id, insert_rank, bumped)
+                lex_rank_ref[...] = jnp.where(grow, with_new, lexv)
+
+                @pl.when(grow)
+                def _():
+                    token_bytes_ref[pl.ds(next_id, 1), :] = merged
+                    token_len_ref[...] = jnp.where(
+                        iota_v == next_id, la + lb, token_len_ref[...]
+                    )
+
+                scalars_ref[0, _NEXT_ID] = next_id + grow.astype(I32)
+                scalars_ref[0, _NUM_DONE] = scalars_ref[0, _NUM_DONE] + 1
+
+                rec = jnp.concatenate(
+                    [
+                        a.reshape(1, 1),
+                        b.reshape(1, 1),
+                        c.reshape(1, 1),
+                        jnp.zeros((1, 1), I32),
+                    ],
+                    axis=1,
+                )
+                merges_ref[pl.ds(rec_idx, 1), :] = rec
+
+                # ------------------------------------------------- scan
+                # (compare in i32: i16-vs-broadcast compares trip an i1
+                # relayout bug in Mosaic; the casts stream through regs)
+                w16 = words_ref[...]
+                flag = jnp.zeros((NR, 128), I32)
+                for k in range(NB):
+                    mk = (
+                        w16[:, k * 128 : (k + 1) * 128].astype(I32) == a
+                    ) & (
+                        w16[:, (k + 1) * 128 : (k + 2) * 128].astype(I32)
+                        == b
+                    )
+                    flag = flag | _b2i(mk)
+                flags_ref[...] = flag
+
+                _process_affected(
+                    a, b, c,
+                    words_ref, flags_ref, counts_ref, row_max_ref,
+                    gwin_ref, rowwin_ref,
+                    stage_l_ref, stage_r_ref, stage_w_ref,
+                    addvecs_ref, xrows_ref, sems,
+                    V=V, W=W, NR=NR, WL=WL, A=A, R=R,
+                    iota_v=iota_v, iota_wl=iota_wl, iota_nb=iota_nb,
+                )
+
+        return 0
+
+    jax.lax.fori_loop(0, chunk_size, step_body, 0)
+
+
+def _process_affected(
+    a, b, c,
+    words_ref, flags_ref, counts_ref, row_max_ref,
+    gwin_ref, rowwin_ref,
+    stage_l_ref, stage_r_ref, stage_w_ref,
+    addvecs_ref, xrows_ref, sems,
+    *,
+    V: int, W: int, NR: int, WL: int, A: int, R: int,
+    iota_v, iota_wl, iota_nb,
+):
+    """Apply the merge to every flagged word and fold the count deltas.
+
+    Words are visited one at a time through sublane-window DMAs (batched
+    A at a time for the count-update flush); every CHANGED adjacent pair
+    is staged as a (left, right, +/-freq) cell, then cells are grouped by
+    left symbol and applied as [8, V] row-window RMWs with exact row-max
+    refresh.
+    """
+    NB = W - 1
+    flat2 = (
+        jax.lax.broadcasted_iota(I32, (NR, 128), 0) * 128
+        + jax.lax.broadcasted_iota(I32, (NR, 128), 1)
+    )
+    n_aff = jnp.sum(flags_ref[...])
+
+    def outer_cond(processed):
+        return processed < n_aff
+
+    def outer_body(processed):
+        stage_l_ref[...] = jnp.full((A, 128), -1, I32)
+        stage_r_ref[...] = jnp.full((A, 128), -1, I32)
+        stage_w_ref[...] = jnp.zeros((A, 128), I32)
+
+        def fill_cond(carry):
+            k, done = carry
+            return (k < A) & (done < n_aff)
+
+        def fill_body(carry):
+            k, done = carry
+            flags = flags_ref[...]
+            j = jnp.min(jnp.where(flags > 0, flat2, BIG))
+            flags_ref[...] = jnp.where(flat2 == j, 0, flags)
+            jr = j // 128
+            q = j - jr * 128
+            base8 = (jr // 8) * 8
+            sub = jr - base8
+
+            cp = pltpu.make_async_copy(
+                words_ref.at[pl.ds(base8, 8), :], gwin_ref, sems.at[1]
+            )
+            cp.start()
+            cp.wait()
+            # i16 buffers have a (16, 128) tile, so a dynamic single-
+            # sublane slice is not lowerable; select the row by mask.
+            win = gwin_ref[...]
+            iota8 = jax.lax.broadcasted_iota(I32, (8, 1), 0)
+            wrow = jnp.sum(
+                jnp.where(iota8 == sub, win.astype(I32), 0),
+                axis=0,
+                keepdims=True,
+            )  # [1, WL]
+
+            qmask_nb = (iota_nb - (iota_nb // 128) * 128) == q
+            syms = wrow[:, : W * 128]
+            l = syms[:, : NB * 128]
+            r = syms[:, 128:]
+            pm = (l == a) & (r == b) & qmask_nb
+            applied = _leftmost_nonoverlap_blocks(pm, NB)
+            applied_i = _b2i(applied)
+            applied_at = (
+                jnp.concatenate(
+                    [applied_i, jnp.zeros((1, 128), I32)], axis=1
+                )
+                != 0
+            )
+            # The symbol one position after an applied merge is consumed.
+            removed_full = (
+                jnp.concatenate(
+                    [jnp.zeros((1, 128), I32), applied_i], axis=1
+                )
+                != 0
+            )
+            newvals = jnp.where(applied_at, c, syms)
+            keep = jnp.logical_not(removed_full) & (syms >= 0)
+            merged = _butterfly_compact_blocks(newvals, keep, W, -1)
+            qmask_w = (
+                iota_wl[:, : W * 128]
+                - (iota_wl[:, : W * 128] // 128) * 128
+            ) == q
+            new_syms = jnp.where(qmask_w, merged, syms)
+
+            newrow = jnp.concatenate(
+                [new_syms, wrow[:, W * 128 :]], axis=1
+            ).astype(I16)
+            gwin_ref[...] = jnp.where(iota8 == sub, newrow, win)
+            cpo = pltpu.make_async_copy(
+                gwin_ref, words_ref.at[pl.ds(base8, 8), :], sems.at[1]
+            )
+            cpo.start()
+            cpo.wait()
+
+            f_lo = _extract_lane(wrow, W * 128 + q)
+            f_hi = _extract_lane(wrow, (W + 1) * 128 + q)
+            f = (f_lo & 0xFFFF) | (f_hi << 16)
+
+            nl = new_syms[:, : NB * 128]
+            nr = new_syms[:, 128:]
+            valid_old = qmask_nb & (r >= 0)
+            valid_new = qmask_nb & (nr >= 0)
+            pos_changed = (l != nl) | (r != nr)
+            cv = jnp.concatenate(
+                [valid_old & pos_changed, valid_new & pos_changed], axis=1
+            )
+            cl = jnp.concatenate([l, nl], axis=1)
+            cr = jnp.concatenate([r, nr], axis=1)
+            packed = jnp.where(cv, cl * 32768 + cr, -1)
+            cw = jnp.where(
+                cv,
+                jnp.concatenate(
+                    [jnp.full((1, NB * 128), -1, I32),
+                     jnp.full((1, NB * 128), 1, I32)],
+                    axis=1,
+                )
+                * f,
+                0,
+            )
+            cpk = _compact_lanes(packed, cv, -1)
+            cwc = _compact_lanes(cw, cv, 0)
+            stage_l_ref[pl.ds(k, 1), :] = jnp.where(
+                cpk[:, :128] >= 0, cpk[:, :128] // 32768, -1
+            )
+            stage_r_ref[pl.ds(k, 1), :] = jnp.where(
+                cpk[:, :128] >= 0,
+                cpk[:, :128] - (cpk[:, :128] // 32768) * 32768,
+                -1,
+            )
+            stage_w_ref[pl.ds(k, 1), :] = cwc[:, :128]
+            return (k + 1, done + 1)
+
+        _, done = jax.lax.while_loop(fill_cond, fill_body, (0, processed))
+        _flush_stage(
+            counts_ref, row_max_ref, rowwin_ref,
+            stage_l_ref, stage_r_ref, stage_w_ref,
+            addvecs_ref, xrows_ref, sems,
+            V=V, A=A, R=R, iota_v=iota_v,
+        )
+        return done
+
+    jax.lax.while_loop(outer_cond, outer_body, jnp.int32(0))
+
+
+def _slab_size(V: int) -> int:
+    s = 2048
+    while V % s != 0:
+        s //= 2
+    return s
+
+
+def _flush_stage(
+    counts_ref, row_max_ref, rowwin_ref,
+    stage_l_ref, stage_r_ref, stage_w_ref,
+    addvecs_ref, xrows_ref, sems,
+    *,
+    V: int, A: int, R: int, iota_v,
+):
+    _SLAB = _slab_size(V)
+    """Fold staged cells into the HBM count table.
+
+    Cells are compacted, grouped by left symbol (up to R distinct rows per
+    pass), each group's column deltas built as a [R, V] one-hot matmul
+    (3-limb f32, exact), and each distinct row applied as one [8, V]
+    window RMW with an exact row-max refresh.
+    """
+    CAP = A * 128
+    lg = stage_l_ref[...].reshape(1, CAP)
+    rg = stage_r_ref[...].reshape(1, CAP)
+    wg = stage_w_ref[...].reshape(1, CAP)
+    valid = (lg >= 0) & (wg != 0)
+    packed = jnp.where(valid, lg * 32768 + rg, -1)
+    cpk = _compact_lanes(packed, valid, -1)
+    cwc = _compact_lanes(wg, valid, 0)
+    n_cells = jnp.sum(_b2i(valid))
+
+    lgc = jnp.where(cpk >= 0, cpk // 32768, BIG)
+    rgc = jnp.where(cpk >= 0, cpk - (cpk // 32768) * 32768, 0)
+    # Overwrite the stage refs with the compacted 2D chunk views: chunk
+    # ck = sublane row ck (sublane-dynamic ref reads below — dynamic LANE
+    # slicing and value-level dynamic_slice are unsupported in Mosaic).
+    stage_l_ref[...] = lgc.reshape(A, 128)
+    stage_r_ref[...] = rgc.reshape(A, 128)
+    stage_w_ref[...] = cwc.reshape(A, 128)
+    n_chunks = (n_cells + 127) // 128
+
+    def rows_remain(start_state):
+        remaining, _ = start_state
+        return jnp.min(remaining) < BIG
+
+    def rows_pass(state):
+        remaining, _ = state
+        # collect up to R distinct left symbols
+        xcol = jnp.full((R, 1), -1, I32)
+        rem = remaining
+        for rr in range(R):
+            x = jnp.min(rem)
+            found = x < BIG
+            xr = jnp.where(found, x, -1).astype(I32)
+            xcol = jnp.where(
+                jax.lax.broadcasted_iota(I32, (R, 1), 0) == rr, xr, xcol
+            )
+            xrows_ref[rr] = xr
+            rem = jnp.where((rem == x) & found, BIG, rem)
+        remaining = rem
+
+        addvecs_ref[...] = jnp.zeros((R, V), I32)
+
+        def chunk_body(ck, _):
+            l_ch = stage_l_ref[pl.ds(ck, 1), :]
+            r_ch = stage_r_ref[pl.ds(ck, 1), :]
+            w_ch = stage_w_ref[pl.ds(ck, 1), :]
+            wsel = jnp.where(l_ch == xcol, w_ch, 0)  # [R, 128]
+            h2 = wsel >> 24
+            rem12 = wsel - (h2 << 24)
+            h1 = rem12 >> 12
+            h0 = rem12 - (h1 << 12)
+            r_sub = r_ch.reshape(128, 1)
+            for sb in range(V // _SLAB):
+                base = sb * _SLAB
+                oh = (
+                    r_sub
+                    == jax.lax.broadcasted_iota(I32, (128, _SLAB), 1)
+                    + base
+                ).astype(F32)
+                hi = jax.lax.Precision.HIGHEST
+                d = (
+                    jax.lax.dot_general(
+                        h2.astype(F32), oh,
+                        dimension_numbers=(((1,), (0,)), ((), ())),
+                        preferred_element_type=F32,
+                        precision=hi,
+                    ).astype(I32)
+                    * (1 << 24)
+                    + jax.lax.dot_general(
+                        h1.astype(F32), oh,
+                        dimension_numbers=(((1,), (0,)), ((), ())),
+                        preferred_element_type=F32,
+                        precision=hi,
+                    ).astype(I32)
+                    * (1 << 12)
+                    + jax.lax.dot_general(
+                        h0.astype(F32), oh,
+                        dimension_numbers=(((1,), (0,)), ((), ())),
+                        preferred_element_type=F32,
+                        precision=hi,
+                    ).astype(I32)
+                )
+                addvecs_ref[:, pl.ds(base, _SLAB)] = (
+                    addvecs_ref[:, pl.ds(base, _SLAB)] + d
+                )
+            return 0
+
+        jax.lax.fori_loop(0, n_chunks, chunk_body, 0)
+
+        # apply one RMW per distinct row
+        for rr in range(R):
+            x = xrows_ref[rr]
+
+            @pl.when(x >= 0)
+            def _rmw():
+                base = (x // 8) * 8
+                cp = pltpu.make_async_copy(
+                    counts_ref.at[pl.ds(base, 8), :], rowwin_ref,
+                    sems.at[2],
+                )
+                cp.start()
+                cp.wait()
+                sub = x - base
+                row = rowwin_ref[pl.ds(sub, 1), :]
+                row = row + addvecs_ref[pl.ds(rr, 1), :]
+                rowwin_ref[pl.ds(sub, 1), :] = row
+                cpo = pltpu.make_async_copy(
+                    rowwin_ref, counts_ref.at[pl.ds(base, 8), :],
+                    sems.at[2],
+                )
+                cpo.start()
+                cpo.wait()
+                new_max = jnp.max(row)
+                row_max_ref[...] = jnp.where(
+                    iota_v == x, new_max, row_max_ref[...]
+                )
+
+        return (remaining, state[1] + 1)
+
+    jax.lax.while_loop(rows_remain, rows_pass, (lgc, jnp.int32(0)))
+
+
+@partial(
+    jax.jit,
+    static_argnames=(
+        "vocab_cap",
+        "word_width",
+        "byte_width",
+        "num_merges",
+        "chunk_size",
+        "min_frequency",
+        "batch_words",
+        "group_rows",
+        "interpret",
+    ),
+    donate_argnums=tuple(range(8)),
+)
+def hbm_merge_chunk(
+    words: jax.Array,        # [NR, (W+2)*128] i16
+    row_max: jax.Array,      # [1, V] i32
+    token_bytes: jax.Array,  # [V, L] i32
+    token_len: jax.Array,    # [1, V] i32
+    lex_rank: jax.Array,     # [1, V] i32
+    merges: jax.Array,       # [M, 4] i32
+    scalars: jax.Array,      # [1, 8] i32
+    counts: jax.Array,       # [V, V] i32
+    chunk_cfg: jax.Array,    # [1, 4] i32: [chunk_start, 0, 0, 0]
+    *,
+    vocab_cap: int,
+    word_width: int,
+    byte_width: int,
+    num_merges: int,
+    chunk_size: int,
+    min_frequency: int,
+    batch_words: int = 8,
+    group_rows: int = 8,
+    interpret: bool = False,
+):
+    """Run ``chunk_size`` merge steps in ONE kernel dispatch.
+
+    Returns the updated 8-tuple of state arrays (all aliased in place).
+    """
+    V = vocab_cap
+    NR, WL = words.shape
+    A = batch_words
+    R = group_rows
+    kernel = partial(
+        _hbm_loop_kernel,
+        vocab_cap=V,
+        word_width=word_width,
+        byte_width=byte_width,
+        num_merges=num_merges,
+        chunk_size=chunk_size,
+        min_frequency=min_frequency,
+        copy_in=interpret,
+    )
+    out_shape = [
+        jax.ShapeDtypeStruct(words.shape, words.dtype),
+        jax.ShapeDtypeStruct(row_max.shape, row_max.dtype),
+        jax.ShapeDtypeStruct(token_bytes.shape, token_bytes.dtype),
+        jax.ShapeDtypeStruct(token_len.shape, token_len.dtype),
+        jax.ShapeDtypeStruct(lex_rank.shape, lex_rank.dtype),
+        jax.ShapeDtypeStruct(merges.shape, merges.dtype),
+        jax.ShapeDtypeStruct(scalars.shape, scalars.dtype),
+        jax.ShapeDtypeStruct(counts.shape, counts.dtype),
+    ]
+    vmem = pl.BlockSpec(memory_space=pltpu.VMEM)
+    smem = pl.BlockSpec(memory_space=pltpu.SMEM)
+    any_ = pl.BlockSpec(memory_space=pl.ANY)
+    return pl.pallas_call(
+        kernel,
+        out_shape=out_shape,
+        in_specs=[vmem, vmem, vmem, vmem, vmem, vmem, smem, any_, smem],
+        out_specs=[vmem, vmem, vmem, vmem, vmem, vmem, smem, any_],
+        input_output_aliases={i: i for i in range(8)},
+        scratch_shapes=[
+            pltpu.VMEM((NR, 128), jnp.int32),       # flags
+            pltpu.VMEM((8, WL), jnp.int16),          # gather window
+            pltpu.VMEM((8, V), jnp.int32),           # count-row window
+            pltpu.VMEM((A, 128), jnp.int32),         # staged cell lefts
+            pltpu.VMEM((A, 128), jnp.int32),         # staged cell rights
+            pltpu.VMEM((A, 128), jnp.int32),         # staged cell weights
+            pltpu.VMEM((R, V), jnp.int32),           # grouped row deltas
+            pltpu.SMEM((R,), jnp.int32),             # distinct row ids
+            pltpu.SemaphoreType.DMA((4,)),
+        ],
+        interpret=interpret,
+        compiler_params=pltpu.CompilerParams(
+            has_side_effects=True,
+            vmem_limit_bytes=110 * 1024 * 1024,
+        ),
+    )(
+        words, row_max, token_bytes, token_len, lex_rank, merges,
+        scalars, counts, chunk_cfg,
+    )
+
+
+__all__ = ["hbm_merge_chunk"]

@@ -65,6 +65,12 @@ class BBPETrainerConfig:
             throughput-bound, so a device round-trip per merge chunk loses
             to a host loop; results are bit-identical either way. Ignored
             (device path) when sharding or checkpointing is configured.
+        use_hbm_kernel: run large-vocabulary single-chip training through
+            the HBM-tiled fused Pallas kernel (True), never (False), or
+            pick automatically (None: TPU backend, problem within the
+            kernel's i16/word-width/VMEM limits). This is the on-chip
+            engine for the 32k-vocab flagship; beyond its limits the XLA
+            bigvocab path runs instead. Unavailable with data sharding.
     """
 
     vocab_size: int = 32000
@@ -88,6 +94,7 @@ class BBPETrainerConfig:
     checkpoint_every_chunks: int = 4
     use_fused_kernel: bool | None = None
     use_native_loop: bool | None = None
+    use_hbm_kernel: bool | None = None
 
 
 __all__ = ["BBPETrainerConfig"]

@@ -1,0 +1,182 @@
+"""Driver for the HBM-tiled fused merge-loop kernel (32k-vocab on-chip).
+
+Host-side state construction + chunked dispatch for
+yabpe_tpu.kernels.hbm_loop. Packs the word table into the kernel's
+interleaved 16-bit layout, builds the initial pair-count table cheaply
+(initial symbols are all byte/special ids, so the nonzero region is a
+[base, base] corner — computed with one numpy bincount and placed into a
+device-zeroed [V, V] buffer; no giant host->device transfer and no XLA
+scatter), then runs merge chunks until done or early-stopped.
+
+Exactness target: /root/reference/src/yet_another_bpe/trainer.py:216-302
+(same selection order, application, dedup and stop semantics); pinned by
+the golden-fixture and differential-fuzz suites.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from yabpe_tpu.core import lexkey
+from yabpe_tpu.core.vocab import Vocab
+from yabpe_tpu.core.wordtable import WordTable
+
+
+def _round_up(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m
+
+
+#: i16 symbol ids bound the vocabulary; the per-word changed-cell buffer
+#: (128 slots) bounds the word width at 64 symbols (2*(W-1) <= 126).
+MAX_VOCAB_CAP = 32768
+MAX_WORD_WIDTH = 64
+
+
+def hbm_applicable(
+    n_words: int, word_width: int, vocab_cap: int, max_token_len: int
+) -> bool:
+    """Whether the HBM kernel can run this problem on one chip."""
+    if vocab_cap > MAX_VOCAB_CAP or word_width > MAX_WORD_WIDTH:
+        return False
+    del max_token_len
+    W = max(word_width, 2)
+    nr = _round_up((n_words + 127) // 128, 8)
+    # words (i16) + flags (i32) must leave room for the fixed windows,
+    # grouped-delta buffers and compiler temporaries in ~110 MB VMEM.
+    words_bytes = nr * (W + 2) * 128 * 2 + nr * 128 * 4
+    return words_bytes <= 64 * 1024 * 1024
+
+
+def pack_words(table: WordTable) -> np.ndarray:
+    """Pack [N, W] int32 rows into the interleaved [NR, (W+2)*128] i16
+    layout (symbol w of word j at row j//128, lane w*128 + j%128; freq
+    limbs in blocks W, W+1)."""
+    words = table.words
+    freqs = table.freqs.astype(np.int64)
+    if freqs.max(initial=0) > np.iinfo(np.int32).max:
+        raise ValueError("word frequency exceeds int32")
+    n, w = words.shape
+    w = max(w, 2)
+    nr = _round_up((n + 127) // 128, 8)
+    sym = np.full((nr * 128, w), -1, dtype=np.int16)
+    sym[:n, : words.shape[1]] = words.astype(np.int16)
+    f = np.zeros((nr * 128,), dtype=np.int64)
+    f[:n] = freqs
+    lo = (f & 0xFFFF).astype(np.uint16).view(np.int16)
+    hi = (f >> 16).astype(np.uint16).view(np.int16)
+    cols = np.concatenate([sym, lo[:, None], hi[:, None]], axis=1)
+    # [NR*128, W+2] -> [NR, 128, W+2] -> [NR, W+2, 128] -> [NR, (W+2)*128]
+    packed = (
+        cols.reshape(nr, 128, w + 2)
+        .transpose(0, 2, 1)
+        .reshape(nr, (w + 2) * 128)
+    )
+    return np.ascontiguousarray(packed)
+
+
+def initial_corner_counts(
+    table: WordTable, base_size: int
+) -> np.ndarray:
+    """Initial pair counts as a [base, base] corner (all initial symbols
+    are byte/special ids < base_size)."""
+    words = table.words
+    l = words[:, :-1]
+    r = words[:, 1:]
+    valid = l >= 0
+    valid &= r >= 0
+    keys = np.where(valid, l.astype(np.int64) * base_size + r, 0)
+    wts = np.where(valid, table.freqs[:, None].astype(np.int64), 0)
+    corner = np.bincount(
+        keys.ravel(), weights=wts.ravel(), minlength=base_size * base_size
+    )
+    corner = corner.reshape(base_size, base_size)
+    if corner.max(initial=0) > np.iinfo(np.int32).max:
+        raise ValueError("pair count exceeds int32")
+    return corner.astype(np.int32)
+
+
+def run_hbm_merge_loop(
+    table: WordTable,
+    base_vocab: Vocab,
+    *,
+    vocab_cap: int,
+    num_merges: int,
+    min_frequency: int,
+    chunk_size: int = 2048,
+    interpret: bool = False,
+    on_chunk=None,
+) -> np.ndarray:
+    """Run the merge loop on the HBM kernel; returns [num_merges, 3] ids."""
+    import jax
+    import jax.numpy as jnp
+
+    from yabpe_tpu.kernels.hbm_loop import hbm_merge_chunk
+
+    base_tokens = list(base_vocab.tokens())
+    b0 = len(base_tokens)
+    V = _round_up(max(vocab_cap, b0), 128)
+    W = max(table.width, 2)
+    L = _round_up(max(table.width, base_vocab.max_token_len(), 2), 8)
+    M = max(num_merges, 1)
+
+    packed = pack_words(table)
+    corner_np = initial_corner_counts(table, b0)
+    token_bytes, token_len = lexkey.initial_token_matrix(base_tokens, V, L)
+    lex_rank = lexkey.initial_lex_ranks(base_tokens, V)
+
+    corner = jnp.asarray(corner_np)
+
+    @jax.jit
+    def build_counts(corner):
+        counts = jnp.zeros((V, V), jnp.int32)
+        return jax.lax.dynamic_update_slice(counts, corner, (0, 0))
+
+    counts = build_counts(corner)
+    row_max_np = np.zeros((1, V), dtype=np.int32)
+    row_max_np[0, :b0] = corner_np.max(axis=1)
+    state = (
+        jnp.asarray(packed),
+        jnp.asarray(row_max_np),
+        jnp.asarray(token_bytes),
+        jnp.asarray(token_len.reshape(1, V)),
+        jnp.asarray(lex_rank.reshape(1, V)),
+        jnp.full((M, 4), -1, jnp.int32),
+        jnp.asarray(
+            np.array([[b0, 0, 0, 0, 0, 0, 0, 0]], dtype=np.int32)
+        ),
+        counts,
+    )
+
+    chunk = max(1, min(chunk_size, num_merges))
+    start = 0
+    while start < num_merges:
+        cfg = jnp.asarray(np.array([[start, 0, 0, 0]], dtype=np.int32))
+        state = hbm_merge_chunk(
+            *state,
+            cfg,
+            vocab_cap=V,
+            word_width=W,
+            byte_width=L,
+            num_merges=num_merges,
+            chunk_size=chunk,
+            min_frequency=min_frequency,
+            interpret=interpret,
+        )
+        start += chunk
+        scal = np.asarray(state[6])
+        if on_chunk is not None:
+            merges_now = np.asarray(state[5])[:, :3]
+            on_chunk(merges_now, min(start, num_merges))
+        if scal[0, 1] != 0:  # stopped
+            break
+    return np.asarray(state[5])[:, :3]
+
+
+__all__ = [
+    "run_hbm_merge_loop",
+    "hbm_applicable",
+    "pack_words",
+    "initial_corner_counts",
+    "MAX_VOCAB_CAP",
+    "MAX_WORD_WIDTH",
+]

@@ -303,6 +303,22 @@ class BBPETrainer:
                 chunk_size=cfg.merge_chunk_size,
             )
 
+        if self._should_use_hbm(table, vocab_cap):
+            from yabpe_tpu.train.hbm_driver import run_hbm_merge_loop
+
+            _, saver = self._checkpoint_hooks()
+            return run_hbm_merge_loop(
+                table,
+                base,
+                vocab_cap=vocab_cap,
+                num_merges=num_merges,
+                min_frequency=cfg.min_frequency,
+                # Each dispatch pays a host<->device round trip; the HBM
+                # kernel is built for long chunks.
+                chunk_size=max(cfg.merge_chunk_size, 1024),
+                on_chunk=saver,
+            )
+
         if vocab_cap > 2048:
             # Large vocabularies: HBM count table + lazy row-max selection
             # (O(V) per step instead of an O(V^2) full-table argmax).
@@ -361,6 +377,38 @@ class BBPETrainer:
             if bool(state.core.stopped):
                 break
         return np.asarray(state.core.merges)
+
+    def _should_use_hbm(self, table, vocab_cap: int) -> bool:
+        """Route large-vocabulary problems to the HBM-tiled Pallas kernel.
+
+        The kernel carries the single-chip 32k-vocab flagship; the XLA
+        bigvocab loop remains the fallback past its i16/word-width limits
+        and the resume engine for checkpointed restarts.
+        """
+        cfg = self.config
+        if cfg.use_hbm_kernel is False:
+            return False
+        from yabpe_tpu.train.hbm_driver import hbm_applicable
+
+        fits = hbm_applicable(
+            int(table.words.shape[0]),
+            int(table.words.shape[1]),
+            vocab_cap,
+            max(table.width, 2),
+        )
+        if cfg.use_hbm_kernel is True:
+            if not fits:
+                raise ValueError(
+                    "use_hbm_kernel=True but the problem exceeds the HBM "
+                    "kernel's limits (vocab <= 32768, word width <= 64, "
+                    "word table within VMEM)"
+                )
+            return True
+        if cfg.checkpoint_dir:
+            return False  # resume replay is wired to the XLA state layout
+        from yabpe_tpu.utils.jaxsetup import effective_backend
+
+        return fits and effective_backend() == "tpu"
 
     def _should_use_fused(self, table, vocab_cap: int) -> bool:
         cfg = self.config

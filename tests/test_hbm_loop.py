@@ -1,0 +1,140 @@
+"""HBM-tiled fused merge-loop kernel (kernels/hbm_loop) correctness.
+
+Interpret-mode tests run the REAL kernel logic (DMA semantics included)
+on the CPU backend; the on-chip compile/parity path is exercised by
+YABPE_TEST_TPU=1 runs and the bench harness.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from yabpe_tpu.core.vocab import Vocab
+from yabpe_tpu.core.wordtable import WordTable
+from yabpe_tpu.train import state as train_state
+from yabpe_tpu.train.hbm_driver import (
+    hbm_applicable,
+    initial_corner_counts,
+    pack_words,
+    run_hbm_merge_loop,
+)
+from yabpe_tpu.train.reference_loop import train_merges_oracle
+
+from .common import REF_FIXTURES
+
+
+@pytest.fixture(scope="module")
+def small_corpus(tmp_path_factory):
+    from yabpe_tpu.pretok.ingest import count_pretokens
+
+    text = (
+        "the quick brown fox jumps over the lazy dog. "
+        "the dog barks, the fox runs away! banana bandana anagrams "
+        "low lower lowest newer newest wider widest 123 4567 \n\n"
+    ) * 6 + "naïve café 東京 😀 mixed UP case WORDS"
+    f = tmp_path_factory.mktemp("hbm") / "small.txt"
+    f.write_text(text, encoding="utf-8")
+    counter = count_pretokens([f], ["<|endoftext|>"], max_workers=1)
+    base = Vocab.base(["<|endoftext|>"])
+    return counter, WordTable.from_counter(counter), base
+
+
+def test_pack_words_roundtrip(small_corpus):
+    _, wt, _ = small_corpus
+    packed = pack_words(wt)
+    n, w = wt.words.shape
+    w = max(w, 2)
+    nr = packed.shape[0]
+    cols = (
+        packed.reshape(nr, w + 2, 128)
+        .transpose(0, 2, 1)
+        .reshape(nr * 128, w + 2)
+    )
+    syms = cols[:n, : wt.words.shape[1]].astype(np.int32)
+    assert np.array_equal(syms, wt.words)
+    lo = cols[:n, w].view(np.uint16).astype(np.int64)
+    hi = cols[:n, w + 1].view(np.uint16).astype(np.int64)
+    assert np.array_equal(lo | (hi << 16), wt.freqs.astype(np.int64))
+    # padding rows are empty with zero frequency
+    assert (cols[n:, : w] == -1).all()
+
+
+def test_initial_corner_counts_matches_dense(small_corpus):
+    _, wt, base = small_corpus
+    b0 = len(list(base.tokens()))
+    corner = initial_corner_counts(wt, b0)
+    from yabpe_tpu.kernels.pair_count import pair_counts_dense
+
+    dense = np.asarray(
+        pair_counts_dense(wt.words, wt.freqs.astype(np.int32), b0)
+    ).reshape(b0, b0)
+    assert np.array_equal(corner, dense)
+
+
+def test_hbm_applicable_bounds():
+    assert hbm_applicable(100_000, 32, 32768, 32)
+    assert not hbm_applicable(100_000, 32, 32769, 32)
+    assert not hbm_applicable(100_000, 80, 32768, 80)
+    assert not hbm_applicable(10_000_000, 64, 32768, 64)
+
+
+@pytest.mark.parametrize("vocab_size,min_freq", [(300, 1), (280, 3)])
+def test_hbm_kernel_matches_oracle_interpret(
+    small_corpus, vocab_size, min_freq
+):
+    counter, wt, base = small_corpus
+    num = vocab_size - len(list(base.tokens()))
+    merges_ids = run_hbm_merge_loop(
+        wt,
+        base,
+        vocab_cap=vocab_size,
+        num_merges=num,
+        min_frequency=min_freq,
+        chunk_size=16,
+        interpret=True,
+    )
+    _, merges = train_state.merges_to_bytes(merges_ids, base)
+    _, want = train_merges_oracle(
+        counter, ["<|endoftext|>"], vocab_size, min_freq
+    )
+    assert merges == want
+
+
+def test_hbm_kernel_early_stop_interpret(small_corpus):
+    """A min_frequency no pair reaches must stop with zero merges."""
+    counter, wt, base = small_corpus
+    merges_ids = run_hbm_merge_loop(
+        wt,
+        base,
+        vocab_cap=400,
+        num_merges=50,
+        min_frequency=10**9,
+        chunk_size=8,
+        interpret=True,
+    )
+    assert (merges_ids == -1).all()
+
+
+@pytest.mark.skipif(
+    __import__("os").environ.get("YABPE_TEST_TPU", "0") != "1",
+    reason="real-chip compile (set YABPE_TEST_TPU=1)",
+)
+def test_hbm_kernel_golden_fixture_tpu():
+    from yabpe_tpu.io import gpt2 as gpt2io
+    from yabpe_tpu.pretok.ingest import count_pretokens
+
+    counter = count_pretokens(
+        [REF_FIXTURES / "corpus.en"], ["<|endoftext|>"], max_workers=1
+    )
+    base = Vocab.base(["<|endoftext|>"])
+    wt = WordTable.from_counter(counter)
+    merges_ids = run_hbm_merge_loop(
+        wt, base, vocab_cap=500, num_merges=243,
+        min_frequency=1, chunk_size=64,
+    )
+    _, merges = train_state.merges_to_bytes(merges_ids, base)
+    ref = gpt2io.load_gpt2_merges(
+        REF_FIXTURES / "train-bpe-reference-merges.txt"
+    )
+    assert merges == ref
