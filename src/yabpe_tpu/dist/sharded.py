@@ -132,8 +132,13 @@ def _sharded_chunk_incremental(
                     words, freqs, affected, left, right, new_sym,
                     cap, vocab_cap,
                 )
-                gkeys = jax.lax.all_gather(keys, "data").reshape(-1)
-                gw = jax.lax.all_gather(w, "data").reshape(-1)
+                # ONE collective for (keys | weights): per-collective
+                # latency, not payload, dominates cross-host steps.
+                packed = jax.lax.all_gather(
+                    jnp.stack([keys, w]), "data"
+                )
+                gkeys = packed[:, 0, :].reshape(-1)
+                gw = packed[:, 1, :].reshape(-1)
                 counts = counts.at[gkeys].add(gw, mode="drop")
                 # Tighten-on-increase for the replicated bound cache.
                 safe = jnp.minimum(gkeys, oob - 1)
@@ -297,8 +302,11 @@ def _sharded_chunk_2d(
                     words, freqs, affected, left, right, new_sym,
                     cap, vocab_cap,
                 )
-                gkeys = jax.lax.all_gather(keys, "data").reshape(-1)
-                gw = jax.lax.all_gather(w, "data").reshape(-1)
+                packed = jax.lax.all_gather(
+                    jnp.stack([keys, w]), "data"
+                )
+                gkeys = packed[:, 0, :].reshape(-1)
+                gw = packed[:, 1, :].reshape(-1)
 
                 # Apply the slice of the global update list that lands in
                 # this shard's rows (out-of-slab keys drop).

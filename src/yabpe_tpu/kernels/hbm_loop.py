@@ -22,7 +22,8 @@ State (all pallas inputs aliased to outputs; persists across dispatches):
              packed row is a sublane-dynamic DMA — the two access patterns
              Mosaic supports natively (dynamic *lane* indexing is not).
     row_max  [1, V]  i32 VMEM   upper bound on each table row's max count
-    token_bytes [V, L] i32, token_len/lex_rank [1, V] i32, merges [M, 4]
+    token_bytes [L, V] i32 (transposed: tokens are lanes),
+    token_len/lex_rank [1, V] i32, merges [M, 128] i32 HBM
     scalars  [1, 8]  i32 SMEM   next_id, stopped, num_done
     counts   [V, V]  i32 HBM    the dense pair table (DMA windows only)
 
@@ -201,7 +202,7 @@ def _hbm_loop_kernel(
     # aliased state (inputs 0..8 -> outputs 0..8)
     words_in,        # [NR, WL] i16 VMEM
     row_max_in,      # [1, V] i32 VMEM
-    token_bytes_in,  # [V, L] i32 VMEM
+    token_bytes_in,  # [L, V] i32 VMEM (transposed)
     token_len_in,    # [1, V] i32 VMEM
     lex_rank_in,     # [1, V] i32 VMEM
     merges_in,       # [M, 4] i32 VMEM
@@ -226,6 +227,7 @@ def _hbm_loop_kernel(
     stage_r_ref,     # [A, 128] i32 VMEM
     stage_w_ref,     # [A, 128] i32 VMEM
     addvecs_ref,     # [R, V] i32 VMEM    per-distinct-row count deltas
+    mring_ref,       # [chunk_size, 128] i32 VMEM  merge-record ring
     xrows_ref,       # [R] i32 SMEM       distinct row ids
     sems,            # DMA semaphores (4,)
     *,
@@ -249,21 +251,29 @@ def _hbm_loop_kernel(
     # VMEM-windowed outputs do not inherit the aliased input's contents
     # (input and output windows are separate on-chip buffers); copy them
     # in once, then operate purely on the output refs — the same pattern
-    # as the VMEM fused kernel. The ANY-space counts ref has no window:
-    # with real aliasing both refs ARE the same HBM buffer, so only
-    # interpret mode (no aliasing) must materialize the copy.
-    words_ref[...] = words_in[...]
+    # as the VMEM fused kernel. The big buffers copy by DMA (a value copy
+    # holds the whole array in vector registers and spills). The
+    # ANY-space counts/merges refs have no windows: with real aliasing
+    # both refs ARE the same HBM buffer, so only interpret mode (no
+    # aliasing) must materialize those copies.
+    cpw = pltpu.make_async_copy(words_in, words_ref, sems.at[0])
+    cpw.start()
+    cpt = pltpu.make_async_copy(token_bytes_in, token_bytes_ref, sems.at[1])
+    cpt.start()
     row_max_ref[...] = row_max_in[...]
-    token_bytes_ref[...] = token_bytes_in[...]
     token_len_ref[...] = token_len_in[...]
     lex_rank_ref[...] = lex_rank_in[...]
-    merges_ref[...] = merges_in[...]
     for k in range(4):
         scalars_ref[0, k] = scalars_in[0, k]
+    cpw.wait()
+    cpt.wait()
     if copy_in:
         cpk = pltpu.make_async_copy(counts_in, counts_ref, sems.at[0])
         cpk.start()
         cpk.wait()
+        cpm = pltpu.make_async_copy(merges_in, merges_ref, sems.at[0])
+        cpm.start()
+        cpm.wait()
 
     iota_v = jax.lax.broadcasted_iota(I32, (1, V), 1)
     iota_l = jax.lax.broadcasted_iota(I32, (1, L), 1)
@@ -287,10 +297,15 @@ def _hbm_loop_kernel(
         cp.start()
         cp.wait()
 
+    # Merge records accumulate in a VMEM ring and flush to the HBM merges
+    # buffer once per chunk: an [M, 4] VMEM window would pad its lane
+    # dimension 4 -> 128 (16 MB per window at 32k merges), and DMA slices
+    # must be 128-aligned in the minor dimension — hence 128-wide rows.
+    mring_ref[...] = jnp.full((chunk_size, 128), -1, I32)
+
     def step_body(step_i, _):
         step = chunk_start + step_i
         in_range = step < num_merges
-        rec_idx = jnp.minimum(step, num_merges - 1)
         stopped = scalars_ref[0, _STOPPED] != 0
 
         @pl.when(in_range & jnp.logical_not(stopped))
@@ -336,37 +351,44 @@ def _hbm_loop_kernel(
                 b = right
 
                 # ------------------------------------------ vocab update
-                # (same construction as the VMEM fused kernel: L x L
-                # shift-select concat, dedup compare, lex-rank insertion)
-                tb_a = token_bytes_ref[pl.ds(a, 1), :]
-                tb_b = token_bytes_ref[pl.ds(b, 1), :]
+                # token_bytes is stored TRANSPOSED [L, V] (tokens are
+                # lanes): a [V, L<128] layout would pad every value's
+                # lane dimension 8x and spill ~100 MB of registers.
+                tbT = token_bytes_ref[...]  # [L, V]
                 tl = token_len_ref[...]
                 la = _extract_lane(tl, a)
                 lb = _extract_lane(tl, b)
-                shift_sel = iota_l.reshape(L, 1) == (iota_l - la)
-                from_b = jnp.sum(
-                    jnp.where(shift_sel, tb_b.reshape(L, 1), 0), axis=0
+                iL_c = jax.lax.broadcasted_iota(I32, (L, 1), 0)
+                tb_a = jnp.sum(
+                    jnp.where(iota_v == a, tbT, 0), axis=1, keepdims=True
+                )  # [L, 1]
+                tb_b_row = jnp.sum(
+                    jnp.where(iota_v == b, tbT, 0), axis=1, keepdims=True
                 ).reshape(1, L)
-                merged = jnp.where(
-                    iota_l < la, tb_a,
-                    jnp.where(iota_l < la + lb, from_b, -1),
-                ).astype(I32)
-
-                tb = token_bytes_ref[...]
-                diff = tb != jnp.broadcast_to(merged, (V, L))
-                any_diff = jnp.max(_b2i(diff), axis=1) > 0
-                iota_vl = jax.lax.broadcasted_iota(I32, (V, L), 1)
-                first = jnp.min(
-                    jnp.where(diff, iota_vl, L), axis=1
-                ).astype(I32).reshape(V, 1)
-                sel = iota_vl == first
-                row_val = jnp.sum(jnp.where(sel, tb, 0), axis=1)
-                q_val = jnp.sum(
-                    jnp.where(sel, jnp.broadcast_to(merged, (V, L)), 0),
-                    axis=1,
+                # merged[d] = tb_a[d] if d < la else tb_b[d - la] else -1
+                sel_b = (iL_c - la) == iota_l  # [L dst, L src]
+                from_b = jnp.sum(
+                    jnp.where(sel_b, tb_b_row, 0), axis=1, keepdims=True
                 )
-                less = (any_diff & (row_val < q_val)).reshape(1, V)
-                equal = jnp.logical_not(any_diff).reshape(1, V)
+                merged = jnp.where(
+                    iL_c < la, tb_a,
+                    jnp.where(iL_c < la + lb, from_b, -1),
+                ).astype(I32)  # [L, 1]
+
+                diff = tbT != merged
+                any_diff = (jnp.max(_b2i(diff), axis=0, keepdims=True) > 0)
+                first = jnp.min(
+                    jnp.where(diff, iL_c, L), axis=0, keepdims=True
+                )  # [1, V]
+                sel_fd = iL_c == first  # [L, V]
+                row_val = jnp.sum(
+                    jnp.where(sel_fd, tbT, 0), axis=0, keepdims=True
+                )
+                q_val = jnp.sum(
+                    jnp.where(sel_fd, merged, 0), axis=0, keepdims=True
+                )
+                less = any_diff & (row_val < q_val)
+                equal = jnp.logical_not(any_diff)
                 active = iota_v < next_id
                 eq_active = equal & active
                 exists = jnp.max(_b2i(eq_active)) > 0
@@ -386,7 +408,9 @@ def _hbm_loop_kernel(
 
                 @pl.when(grow)
                 def _():
-                    token_bytes_ref[pl.ds(next_id, 1), :] = merged
+                    token_bytes_ref[...] = jnp.where(
+                        iota_v == next_id, merged, tbT
+                    )
                     token_len_ref[...] = jnp.where(
                         iota_v == next_id, la + lb, token_len_ref[...]
                     )
@@ -399,22 +423,27 @@ def _hbm_loop_kernel(
                         a.reshape(1, 1),
                         b.reshape(1, 1),
                         c.reshape(1, 1),
-                        jnp.zeros((1, 1), I32),
+                        jnp.full((1, 125), -1, I32),
                     ],
                     axis=1,
                 )
-                merges_ref[pl.ds(rec_idx, 1), :] = rec
+                mring_ref[pl.ds(step_i, 1), :] = rec
 
                 # ------------------------------------------------- scan
-                # (compare in i32: i16-vs-broadcast compares trip an i1
-                # relayout bug in Mosaic; the casts stream through regs)
-                w16 = words_ref[...]
+                # Block slices are read from the REF (not one whole-array
+                # value) so only two [NR, 128] blocks are live at a time —
+                # a whole-words value forced ~100 MB of register spills.
+                # Compares are in i32: i16-vs-broadcast compares trip an
+                # i1 relayout bug in Mosaic.
                 flag = jnp.zeros((NR, 128), I32)
                 for k in range(NB):
                     mk = (
-                        w16[:, k * 128 : (k + 1) * 128].astype(I32) == a
+                        words_ref[:, k * 128 : (k + 1) * 128].astype(I32)
+                        == a
                     ) & (
-                        w16[:, (k + 1) * 128 : (k + 2) * 128].astype(I32)
+                        words_ref[
+                            :, (k + 1) * 128 : (k + 2) * 128
+                        ].astype(I32)
                         == b
                     )
                     flag = flag | _b2i(mk)
@@ -433,6 +462,14 @@ def _hbm_loop_kernel(
         return 0
 
     jax.lax.fori_loop(0, chunk_size, step_body, 0)
+
+    cpm = pltpu.make_async_copy(
+        mring_ref,
+        merges_ref.at[pl.ds(chunk_start, chunk_size), :],
+        sems.at[3],
+    )
+    cpm.start()
+    cpm.wait()
 
 
 def _process_affected(
@@ -800,8 +837,8 @@ def hbm_merge_chunk(
     return pl.pallas_call(
         kernel,
         out_shape=out_shape,
-        in_specs=[vmem, vmem, vmem, vmem, vmem, vmem, smem, any_, smem],
-        out_specs=[vmem, vmem, vmem, vmem, vmem, vmem, smem, any_],
+        in_specs=[vmem, vmem, vmem, vmem, vmem, any_, smem, any_, smem],
+        out_specs=[vmem, vmem, vmem, vmem, vmem, any_, smem, any_],
         input_output_aliases={i: i for i in range(8)},
         scratch_shapes=[
             pltpu.VMEM((NR, 128), jnp.int32),       # flags
@@ -811,6 +848,7 @@ def hbm_merge_chunk(
             pltpu.VMEM((A, 128), jnp.int32),         # staged cell rights
             pltpu.VMEM((A, 128), jnp.int32),         # staged cell weights
             pltpu.VMEM((R, V), jnp.int32),           # grouped row deltas
+            pltpu.VMEM((chunk_size, 128), jnp.int32),  # record ring
             pltpu.SMEM((R,), jnp.int32),             # distinct row ids
             pltpu.SemaphoreType.DMA((4,)),
         ],

@@ -114,10 +114,16 @@ def run_hbm_merge_loop(
 
     base_tokens = list(base_vocab.tokens())
     b0 = len(base_tokens)
-    V = _round_up(max(vocab_cap, b0), 128)
+    # Round to a 2048 multiple above 2048 so the kernel's one-hot slab is
+    # the full 2048 lanes (a ragged V forces a narrow slab and an
+    # unrolled slab loop).
+    V = _round_up(max(vocab_cap, b0), 2048 if vocab_cap > 2048 else 128)
     W = max(table.width, 2)
     L = _round_up(max(table.width, base_vocab.max_token_len(), 2), 8)
-    M = max(num_merges, 1)
+    chunk = max(1, min(chunk_size, num_merges))
+    # The per-chunk merge-record ring flushes [chunk, 4] rows at a time;
+    # size the record buffer to a whole number of chunks.
+    M = _round_up(max(num_merges, 1), chunk)
 
     packed = pack_words(table)
     corner_np = initial_corner_counts(table, b0)
@@ -137,17 +143,16 @@ def run_hbm_merge_loop(
     state = (
         jnp.asarray(packed),
         jnp.asarray(row_max_np),
-        jnp.asarray(token_bytes),
+        jnp.asarray(np.ascontiguousarray(token_bytes.T)),  # [L, V]
         jnp.asarray(token_len.reshape(1, V)),
         jnp.asarray(lex_rank.reshape(1, V)),
-        jnp.full((M, 4), -1, jnp.int32),
+        jnp.full((M, 128), -1, jnp.int32),
         jnp.asarray(
             np.array([[b0, 0, 0, 0, 0, 0, 0, 0]], dtype=np.int32)
         ),
         counts,
     )
 
-    chunk = max(1, min(chunk_size, num_merges))
     start = 0
     while start < num_merges:
         cfg = jnp.asarray(np.array([[start, 0, 0, 0]], dtype=np.int32))
@@ -165,11 +170,11 @@ def run_hbm_merge_loop(
         start += chunk
         scal = np.asarray(state[6])
         if on_chunk is not None:
-            merges_now = np.asarray(state[5])[:, :3]
+            merges_now = np.asarray(state[5])[:num_merges, :3]
             on_chunk(merges_now, min(start, num_merges))
         if scal[0, 1] != 0:  # stopped
             break
-    return np.asarray(state[5])[:, :3]
+    return np.asarray(state[5])[:num_merges, :3]
 
 
 __all__ = [

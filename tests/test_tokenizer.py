@@ -417,3 +417,36 @@ def test_hostmem_tuning_is_idempotent():
     first = hostmem.warm_heap(8)
     again = hostmem.warm_heap(8)
     assert again == 0 or first == 0
+
+
+def test_device_encode_fallback_past_packed_key_range(caplog):
+    """>65535 extended symbols: encode_batch(device=True) must fall back
+    to the host path (with a warning) and still return host-exact ids.
+
+    Pins the silent-fallback path at tok/tokenizer.py (SymbolTableTooLarge
+    -> cached None encoder); 65,536 two-byte merges push the extended
+    symbol table to 256 + 65,536 entries, past the packed uint32 pair-key
+    range of the device kernel.
+    """
+    import logging
+
+    from yabpe_tpu import BBPETokenizer
+
+    merges = [
+        (bytes([x]), bytes([y])) for x in range(256) for y in range(256)
+    ]
+    vocab = {bytes([b]): b for b in range(256)}
+    for i, (l, r) in enumerate(merges):
+        tok_bytes = l + r
+        if tok_bytes not in vocab:
+            vocab[tok_bytes] = 256 + i
+    tok = BBPETokenizer(vocab=vocab, merges=merges, special_tokens=[])
+
+    texts = ["hello world", "aa bb cc"]
+    host = tok.encode_batch(texts)
+    with caplog.at_level(logging.WARNING):
+        dev = tok.encode_batch(texts, device=True)
+    assert dev == host
+    # The oversize table is cached as "no device encoder" so later calls
+    # skip straight to the host path without rebuilding symbol tables.
+    assert tok._device_encoder.get(1, "missing") is None
