@@ -290,13 +290,6 @@ def _hbm_loop_kernel(
         cp.wait()
         return base
 
-    def row_window_write(base, buf_ref, sem):
-        cp = pltpu.make_async_copy(
-            buf_ref, counts_ref.at[pl.ds(base, 8), :], sem
-        )
-        cp.start()
-        cp.wait()
-
     # Merge records accumulate in a VMEM ring and flush to the HBM merges
     # buffer once per chunk: an [M, 4] VMEM window would pad its lane
     # dimension 4 -> 128 (16 MB per window at 32k merges), and DMA slices
@@ -497,23 +490,29 @@ def _process_affected(
     )
     n_aff = jnp.sum(flags_ref[...])
 
-    def outer_cond(processed):
+    def outer_cond(carry):
+        processed, _ = carry
         return processed < n_aff
 
-    def outer_body(processed):
+    def outer_body(carry):
+        processed, j_prev0 = carry
         stage_l_ref[...] = jnp.full((A, 128), -1, I32)
         stage_r_ref[...] = jnp.full((A, 128), -1, I32)
         stage_w_ref[...] = jnp.zeros((A, 128), I32)
 
         def fill_cond(carry):
-            k, done = carry
+            k, done, _ = carry
             return (k < A) & (done < n_aff)
 
         def fill_body(carry):
-            k, done = carry
+            k, done, j_prev = carry
+            # Monotone extraction: flagged words are visited in ascending
+            # flat order, so no clear pass is needed (flags stay the
+            # pristine scan snapshot; one reduction pass per word).
             flags = flags_ref[...]
-            j = jnp.min(jnp.where(flags > 0, flat2, BIG))
-            flags_ref[...] = jnp.where(flat2 == j, 0, flags)
+            j = jnp.min(
+                jnp.where((flags > 0) & (flat2 > j_prev), flat2, BIG)
+            )
             jr = j // 128
             q = j - jr * 128
             base8 = (jr // 8) * 8
@@ -581,9 +580,26 @@ def _process_affected(
             nr = new_syms[:, 128:]
             valid_old = qmask_nb & (r >= 0)
             valid_new = qmask_nb & (nr >= 0)
-            pos_changed = (l != nl) | (r != nr)
+            # Changed-window emission (the reference's last-occurrence
+            # bound, trainer.py suffix argument): emit EVERY valid pair
+            # inside the window, nothing outside. Prefix pairs (< first-1)
+            # are untouched; suffix pairs only shift left, so old pair k
+            # (k >= last+2) equals new pair k-napp and both sides of that
+            # bijection are excluded — the emitted multiset difference is
+            # exactly the true count delta (fuzz-verified vs the naive
+            # full-pair difference over 300k random words):
+            #   old pairs: k in [first-1, last+1]
+            #   new pairs: k in [first-1, last+1-napp]
+            pos_nb = iota_nb // 128
+            first_p = jnp.min(jnp.where(applied, pos_nb, BIG))
+            last_p = jnp.max(jnp.where(applied, pos_nb, -1))
+            napp = jnp.sum(applied_i)
+            in_old = (pos_nb >= first_p - 1) & (pos_nb <= last_p + 1)
+            in_new = (pos_nb >= first_p - 1) & (
+                pos_nb <= last_p + 1 - napp
+            )
             cv = jnp.concatenate(
-                [valid_old & pos_changed, valid_new & pos_changed], axis=1
+                [valid_old & in_old, valid_new & in_new], axis=1
             )
             cl = jnp.concatenate([l, nl], axis=1)
             cr = jnp.concatenate([r, nr], axis=1)
@@ -598,29 +614,49 @@ def _process_affected(
                 * f,
                 0,
             )
-            cpk = _compact_lanes(packed, cv, -1)
-            cwc = _compact_lanes(cw, cv, 0)
+            # All of this word's cells live in lane class q: fold the
+            # [1, 2*NB*128] candidate vectors to [2*NB, 128] and extract
+            # lane q — two tiny reshapes + masked sums instead of two
+            # full-width butterfly compactions (the per-word hot cost).
+            lane2 = jax.lax.broadcasted_iota(I32, (2 * NB, 128), 1)
+            pk2 = packed.reshape(2 * NB, 128)
+            cw2 = cw.reshape(2 * NB, 128)
+            pk_col = jnp.sum(
+                jnp.where(lane2 == q, pk2, 0), axis=1, keepdims=True
+            ).reshape(1, 2 * NB)
+            cw_col = jnp.sum(
+                jnp.where(lane2 == q, cw2, 0), axis=1, keepdims=True
+            ).reshape(1, 2 * NB)
+            padfill = jnp.full((1, 128 - 2 * NB), -1, I32)
+            pk_row = jnp.concatenate([pk_col, padfill], axis=1)
+            cw_row = jnp.concatenate(
+                [cw_col, jnp.zeros((1, 128 - 2 * NB), I32)], axis=1
+            )
             stage_l_ref[pl.ds(k, 1), :] = jnp.where(
-                cpk[:, :128] >= 0, cpk[:, :128] // 32768, -1
+                pk_row >= 0, pk_row // 32768, -1
             )
             stage_r_ref[pl.ds(k, 1), :] = jnp.where(
-                cpk[:, :128] >= 0,
-                cpk[:, :128] - (cpk[:, :128] // 32768) * 32768,
-                -1,
+                pk_row >= 0, pk_row - (pk_row // 32768) * 32768, -1
             )
-            stage_w_ref[pl.ds(k, 1), :] = cwc[:, :128]
-            return (k + 1, done + 1)
+            stage_w_ref[pl.ds(k, 1), :] = jnp.where(
+                pk_row >= 0, cw_row, 0
+            )
+            return (k + 1, done + 1, j)
 
-        _, done = jax.lax.while_loop(fill_cond, fill_body, (0, processed))
+        _, done, j_last = jax.lax.while_loop(
+            fill_cond, fill_body, (jnp.int32(0), processed, j_prev0)
+        )
         _flush_stage(
             counts_ref, row_max_ref, rowwin_ref,
             stage_l_ref, stage_r_ref, stage_w_ref,
             addvecs_ref, xrows_ref, sems,
             V=V, A=A, R=R, iota_v=iota_v,
         )
-        return done
+        return (done, j_last)
 
-    jax.lax.while_loop(outer_cond, outer_body, jnp.int32(0))
+    jax.lax.while_loop(
+        outer_cond, outer_body, (jnp.int32(0), jnp.int32(-1))
+    )
 
 
 def _slab_size(V: int) -> int:
@@ -799,8 +835,8 @@ def hbm_merge_chunk(
     num_merges: int,
     chunk_size: int,
     min_frequency: int,
-    batch_words: int = 8,
-    group_rows: int = 8,
+    batch_words: int = 64,
+    group_rows: int = 16,
     interpret: bool = False,
 ):
     """Run ``chunk_size`` merge steps in ONE kernel dispatch.

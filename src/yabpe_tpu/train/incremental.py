@@ -78,10 +78,14 @@ def _tier_caps(affected_cap: int) -> tuple[int, ...]:
     out-of-bounds slots are still processed serially), so most steps —
     which affect only a handful of rows — should pay for a small buffer.
     A ``lax.switch`` escalates to larger tiers by the actual affected
-    count, and past the top tier to the full recount.
+    count, and past the top tier to the full recount. The 16-row bottom
+    tier matters most for the data-sharded loop: the per-step collective
+    payload and the replicated scatter of the all-gathered delta both
+    scale with shards x tier size, and typical steps affect only a
+    handful of rows per shard.
     """
     caps = []
-    c = 128
+    c = 16
     while c < affected_cap:
         caps.append(c)
         c *= 8
