@@ -313,9 +313,10 @@ class BBPETrainer:
                 vocab_cap=vocab_cap,
                 num_merges=num_merges,
                 min_frequency=cfg.min_frequency,
-                # Each dispatch pays a host<->device round trip; the HBM
-                # kernel is built for long chunks.
-                chunk_size=max(cfg.merge_chunk_size, 1024),
+                # Each dispatch pays a host<->device round trip (~40 ms
+                # through this link); the HBM kernel is built for long
+                # chunks.
+                chunk_size=max(cfg.merge_chunk_size, 2048),
                 on_chunk=saver,
             )
 

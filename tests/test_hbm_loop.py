@@ -138,3 +138,28 @@ def test_hbm_kernel_golden_fixture_tpu():
         REF_FIXTURES / "train-bpe-reference-merges.txt"
     )
     assert merges == ref
+
+
+def test_hbm_kernel_dense_affected_interpret():
+    """Thousands of words sharing the merged pair: exercises multi-batch
+    gathers, words sharing a packed row (lane-class blended write-back),
+    and window-boundary batch breaks."""
+    from collections import Counter
+
+    counter = Counter()
+    for i in range(2000):
+        counter[f" ab{i % 97}x{i}".encode()] = (i % 13) + 1
+    base = Vocab.base([])
+    wt = WordTable.from_counter(counter)
+    merges_ids = run_hbm_merge_loop(
+        wt,
+        base,
+        vocab_cap=320,
+        num_merges=64,
+        min_frequency=1,
+        chunk_size=16,
+        interpret=True,
+    )
+    _, merges = train_state.merges_to_bytes(merges_ids, base)
+    _, want = train_merges_oracle(counter, [], 320, 1)
+    assert merges == want
