@@ -221,8 +221,7 @@ def _hbm_loop_kernel(
     counts_ref,
     # scratch
     flags_ref,       # [NR, 128] i32 VMEM
-    wincache_ref,    # [G*8, WL] i16 VMEM  per-batch window cache
-    batchbuf_ref,    # [G, WL] i32 VMEM    gathered word rows
+    gwin_ref,        # [8, WL] i16 VMEM   gather window
     rowwin_ref,      # [8, V] i32 VMEM    count-row RMW window
     stage_l_ref,     # [A, 128] i32 VMEM  staged cell left syms (-1 empty)
     stage_r_ref,     # [A, 128] i32 VMEM
@@ -230,7 +229,6 @@ def _hbm_loop_kernel(
     addvecs_ref,     # [R, V] i32 VMEM    per-distinct-row count deltas
     mring_ref,       # [chunk_size, 128] i32 VMEM  merge-record ring
     xrows_ref,       # [R] i32 SMEM       distinct row ids
-    qsub_ref,        # [3*G] i32 SMEM     per-batch (q, sub, base8)
     sems,            # DMA semaphores (4,)
     *,
     vocab_cap: int,
@@ -239,7 +237,6 @@ def _hbm_loop_kernel(
     num_merges: int,
     chunk_size: int,
     min_frequency: int,
-    gather_words: int,
     copy_in: bool,
 ):
     V = vocab_cap
@@ -249,7 +246,6 @@ def _hbm_loop_kernel(
     WL = (W + 2) * 128
     A = stage_l_ref.shape[0]
     R = addvecs_ref.shape[0]
-    G = gather_words
     NB = W - 1  # adjacent-pair position blocks
 
     # VMEM-windowed outputs do not inherit the aliased input's contents
@@ -449,10 +445,10 @@ def _hbm_loop_kernel(
                 _process_affected(
                     a, b, c,
                     words_ref, flags_ref, counts_ref, row_max_ref,
-                    wincache_ref, batchbuf_ref, rowwin_ref,
+                    gwin_ref, rowwin_ref,
                     stage_l_ref, stage_r_ref, stage_w_ref,
-                    addvecs_ref, xrows_ref, qsub_ref, sems,
-                    V=V, W=W, NR=NR, WL=WL, A=A, R=R, G=G,
+                    addvecs_ref, xrows_ref, sems,
+                    V=V, W=W, NR=NR, WL=WL, A=A, R=R,
                     iota_v=iota_v, iota_wl=iota_wl, iota_nb=iota_nb,
                 )
 
@@ -472,24 +468,20 @@ def _hbm_loop_kernel(
 def _process_affected(
     a, b, c,
     words_ref, flags_ref, counts_ref, row_max_ref,
-    wincache_ref, batchbuf_ref, rowwin_ref,
+    gwin_ref, rowwin_ref,
     stage_l_ref, stage_r_ref, stage_w_ref,
-    addvecs_ref, xrows_ref, qsub_ref, sems,
+    addvecs_ref, xrows_ref, sems,
     *,
-    V: int, W: int, NR: int, WL: int, A: int, R: int, G: int,
+    V: int, W: int, NR: int, WL: int, A: int, R: int,
     iota_v, iota_wl, iota_nb,
 ):
     """Apply the merge to every flagged word and fold the count deltas.
 
-    Words are gathered G at a time into a batch buffer (their source
-    windows cached), the merge apply / changed-window cell emission runs
-    VECTORIZED over the whole batch (VPU ops on [G, X] occupy the same
-    registers as [1, X]), and merged rows are blended back into the
-    cached windows lane-class-wise — so two words sharing a packed row
-    never clobber each other, and words sharing a WINDOW are kept out of
-    the same batch (ascending extraction makes them consecutive, so one
-    scalar compare breaks the batch). Cells are staged per word and
-    flushed through the row-grouped RMW machinery every A words.
+    Words are visited one at a time through sublane-window DMAs (batched
+    A at a time for the count-update flush); every CHANGED adjacent pair
+    is staged as a (left, right, +/-freq) cell, then cells are grouped by
+    left symbol and applied as [8, V] row-window RMWs with exact row-max
+    refresh.
     """
     NB = W - 1
     flat2 = (
@@ -497,230 +489,162 @@ def _process_affected(
         + jax.lax.broadcasted_iota(I32, (NR, 128), 1)
     )
     n_aff = jnp.sum(flags_ref[...])
-    lmod_wl = iota_wl - (iota_wl // 128) * 128  # [1, WL]
-    iota_g = jax.lax.broadcasted_iota(I32, (G, 1), 0)
-    iota8 = jax.lax.broadcasted_iota(I32, (8, 1), 0)
-    pos_nb = iota_nb // 128  # [1, NB*128]
-
-    def find_next(j):
-        # Monotone extraction: flagged words are visited in ascending
-        # flat order, so no clear pass is needed (flags stay the
-        # pristine scan snapshot; one reduction pass per word).
-        flags = flags_ref[...]
-        return jnp.min(jnp.where((flags > 0) & (flat2 > j), flat2, BIG))
 
     def outer_cond(carry):
         processed, _ = carry
         return processed < n_aff
 
     def outer_body(carry):
-        processed, j_pending = carry
+        processed, j_prev0 = carry
         stage_l_ref[...] = jnp.full((A, 128), -1, I32)
         stage_r_ref[...] = jnp.full((A, 128), -1, I32)
         stage_w_ref[...] = jnp.zeros((A, 128), I32)
 
-        def bat_cond(bc):
-            bi, done, _ = bc
-            return (bi * G < A) & (done < n_aff)
+        def fill_cond(carry):
+            k, done, _ = carry
+            return (k < A) & (done < n_aff)
 
-        def bat_body(bc):
-            bi, done0, j0 = bc
-
-            # ------------------------------------ gather up to G words
-            def g_cond(gc):
-                g, done, j, prev_b8 = gc
-                jb8 = ((j // 128) // 8) * 8
-                return (
-                    (g < G)
-                    & (done < n_aff)
-                    & ((g == 0) | (jb8 != prev_b8))
-                )
-
-            def g_body(gc):
-                g, done, j, _ = gc
-                jr = j // 128
-                q = j - jr * 128
-                base8 = (jr // 8) * 8
-                sub = jr - base8
-                dst = pl.multiple_of(g * 8, 8)
-                cp = pltpu.make_async_copy(
-                    words_ref.at[pl.ds(base8, 8), :],
-                    wincache_ref.at[pl.ds(dst, 8), :],
-                    sems.at[1],
-                )
-                cp.start()
-                j_next = find_next(j)  # overlaps the gather DMA
-                cp.wait()
-                win = wincache_ref[pl.ds(dst, 8), :]
-                wrow = jnp.sum(
-                    jnp.where(iota8 == sub, win.astype(I32), 0),
-                    axis=0,
-                    keepdims=True,
-                )
-                batchbuf_ref[pl.ds(g, 1), :] = wrow
-                qsub_ref[g] = q
-                qsub_ref[G + g] = sub
-                qsub_ref[2 * G + g] = base8
-                return (g + 1, done + 1, j_next, base8)
-
-            gcount, done1, j1, _ = jax.lax.while_loop(
-                g_cond, g_body, (jnp.int32(0), done0, j0, jnp.int32(-1))
+        def fill_body(carry):
+            k, done, j_prev = carry
+            # Monotone extraction: flagged words are visited in ascending
+            # flat order, so no clear pass is needed (flags stay the
+            # pristine scan snapshot; one reduction pass per word).
+            flags = flags_ref[...]
+            j = jnp.min(
+                jnp.where((flags > 0) & (flat2 > j_prev), flat2, BIG)
             )
+            jr = j // 128
+            q = j - jr * 128
+            base8 = (jr // 8) * 8
+            sub = jr - base8
 
-            # -------------------------------------- batched merge apply
-            # Rows >= gcount keep qcol == -1, which empties every mask.
-            qcol = jnp.full((G, 1), -1, I32)
-            for gg in range(G):
-                qcol = jnp.where(
-                    (iota_g == gg) & (gg < gcount), qsub_ref[gg], qcol
-                )
-            bb = batchbuf_ref[...]  # [G, WL] i32
-            qmask_w = lmod_wl[:, : W * 128] == qcol  # [G, W*128]
-            syms = bb[:, : W * 128]
+            cp = pltpu.make_async_copy(
+                words_ref.at[pl.ds(base8, 8), :], gwin_ref, sems.at[1]
+            )
+            cp.start()
+            cp.wait()
+            # i16 buffers have a (16, 128) tile, so a dynamic single-
+            # sublane slice is not lowerable; select the row by mask.
+            win = gwin_ref[...]
+            iota8 = jax.lax.broadcasted_iota(I32, (8, 1), 0)
+            wrow = jnp.sum(
+                jnp.where(iota8 == sub, win.astype(I32), 0),
+                axis=0,
+                keepdims=True,
+            )  # [1, WL]
+
+            qmask_nb = (iota_nb - (iota_nb // 128) * 128) == q
+            syms = wrow[:, : W * 128]
             l = syms[:, : NB * 128]
             r = syms[:, 128:]
-            pm = (l == a) & (r == b) & qmask_w[:, : NB * 128]
+            pm = (l == a) & (r == b) & qmask_nb
             applied = _leftmost_nonoverlap_blocks(pm, NB)
             applied_i = _b2i(applied)
-            zg = jnp.zeros((G, 128), I32)
-            applied_at = jnp.concatenate([applied_i, zg], axis=1) != 0
-            removed_full = jnp.concatenate([zg, applied_i], axis=1) != 0
+            applied_at = (
+                jnp.concatenate(
+                    [applied_i, jnp.zeros((1, 128), I32)], axis=1
+                )
+                != 0
+            )
+            # The symbol one position after an applied merge is consumed.
+            removed_full = (
+                jnp.concatenate(
+                    [jnp.zeros((1, 128), I32), applied_i], axis=1
+                )
+                != 0
+            )
             newvals = jnp.where(applied_at, c, syms)
             keep = jnp.logical_not(removed_full) & (syms >= 0)
             merged = _butterfly_compact_blocks(newvals, keep, W, -1)
+            qmask_w = (
+                iota_wl[:, : W * 128]
+                - (iota_wl[:, : W * 128] // 128) * 128
+            ) == q
             new_syms = jnp.where(qmask_w, merged, syms)
-            batchbuf_ref[...] = jnp.concatenate(
-                [new_syms, bb[:, W * 128 :]], axis=1
-            )
 
-            # per-word frequency from the embedded limb blocks
-            fmask = lmod_wl == qcol  # [G, WL]
-            f_lo = jnp.sum(
-                jnp.where(
-                    fmask[:, W * 128 : (W + 1) * 128],
-                    bb[:, W * 128 : (W + 1) * 128],
-                    0,
-                ),
-                axis=1,
-                keepdims=True,
+            newrow = jnp.concatenate(
+                [new_syms, wrow[:, W * 128 :]], axis=1
+            ).astype(I16)
+            gwin_ref[...] = jnp.where(iota8 == sub, newrow, win)
+            cpo = pltpu.make_async_copy(
+                gwin_ref, words_ref.at[pl.ds(base8, 8), :], sems.at[1]
             )
-            f_hi = jnp.sum(
-                jnp.where(
-                    fmask[:, (W + 1) * 128 :], bb[:, (W + 1) * 128 :], 0
-                ),
-                axis=1,
-                keepdims=True,
-            )
-            f = (f_lo & 0xFFFF) | (f_hi << 16)  # [G, 1]
+            cpo.start()
+            cpo.wait()
 
-            # Changed-window emission (see the single-word version for the
-            # exactness argument; all reductions are per batch row).
-            first_p = jnp.min(
-                jnp.where(applied, pos_nb, BIG), axis=1, keepdims=True
-            )
-            last_p = jnp.max(
-                jnp.where(applied, pos_nb, -1), axis=1, keepdims=True
-            )
-            napp = jnp.sum(applied_i, axis=1, keepdims=True)
+            f_lo = _extract_lane(wrow, W * 128 + q)
+            f_hi = _extract_lane(wrow, (W + 1) * 128 + q)
+            f = (f_lo & 0xFFFF) | (f_hi << 16)
+
+            nl = new_syms[:, : NB * 128]
+            nr = new_syms[:, 128:]
+            valid_old = qmask_nb & (r >= 0)
+            valid_new = qmask_nb & (nr >= 0)
+            # Changed-window emission (the reference's last-occurrence
+            # bound, trainer.py suffix argument): emit EVERY valid pair
+            # inside the window, nothing outside. Prefix pairs (< first-1)
+            # are untouched; suffix pairs only shift left, so old pair k
+            # (k >= last+2) equals new pair k-napp and both sides of that
+            # bijection are excluded — the emitted multiset difference is
+            # exactly the true count delta (fuzz-verified vs the naive
+            # full-pair difference over 300k random words):
+            #   old pairs: k in [first-1, last+1]
+            #   new pairs: k in [first-1, last+1-napp]
+            pos_nb = iota_nb // 128
+            first_p = jnp.min(jnp.where(applied, pos_nb, BIG))
+            last_p = jnp.max(jnp.where(applied, pos_nb, -1))
+            napp = jnp.sum(applied_i)
             in_old = (pos_nb >= first_p - 1) & (pos_nb <= last_p + 1)
             in_new = (pos_nb >= first_p - 1) & (
                 pos_nb <= last_p + 1 - napp
             )
-            nl = new_syms[:, : NB * 128]
-            nr = new_syms[:, 128:]
-            valid_old = qmask_w[:, : NB * 128] & (r >= 0)
-            valid_new = qmask_w[:, : NB * 128] & (nr >= 0)
             cv = jnp.concatenate(
                 [valid_old & in_old, valid_new & in_new], axis=1
             )
             cl = jnp.concatenate([l, nl], axis=1)
             cr = jnp.concatenate([r, nr], axis=1)
             packed = jnp.where(cv, cl * 32768 + cr, -1)
-            sign = jnp.concatenate(
-                [
-                    jnp.full((G, NB * 128), -1, I32),
-                    jnp.full((G, NB * 128), 1, I32),
-                ],
-                axis=1,
+            cw = jnp.where(
+                cv,
+                jnp.concatenate(
+                    [jnp.full((1, NB * 128), -1, I32),
+                     jnp.full((1, NB * 128), 1, I32)],
+                    axis=1,
+                )
+                * f,
+                0,
             )
-            cw = jnp.where(cv, sign * f, 0)
-
-            # every word's cells live in its lane class; the lane-mod
-            # pattern repeats per 128-block, so ONE [G, 128] mask extracts
-            # each block's cell with a tiny masked sum (no cross-shape
-            # reshapes — Mosaic rejects those relayouts)
-            q128 = (
-                jax.lax.broadcasted_iota(I32, (1, 128), 1) == qcol
-            )  # [G, 128]
-            pk_col = jnp.concatenate(
-                [
-                    jnp.sum(
-                        jnp.where(
-                            q128, packed[:, k * 128 : (k + 1) * 128], 0
-                        ),
-                        axis=1,
-                        keepdims=True,
-                    )
-                    for k in range(2 * NB)
-                ],
-                axis=1,
-            )  # [G, 2NB]
-            cw_col = jnp.concatenate(
-                [
-                    jnp.sum(
-                        jnp.where(
-                            q128, cw[:, k * 128 : (k + 1) * 128], 0
-                        ),
-                        axis=1,
-                        keepdims=True,
-                    )
-                    for k in range(2 * NB)
-                ],
-                axis=1,
-            )
-            padfill = jnp.full((G, 128 - 2 * NB), -1, I32)
+            # All of this word's cells live in lane class q: fold the
+            # [1, 2*NB*128] candidate vectors to [2*NB, 128] and extract
+            # lane q — two tiny reshapes + masked sums instead of two
+            # full-width butterfly compactions (the per-word hot cost).
+            lane2 = jax.lax.broadcasted_iota(I32, (2 * NB, 128), 1)
+            pk2 = packed.reshape(2 * NB, 128)
+            cw2 = cw.reshape(2 * NB, 128)
+            pk_col = jnp.sum(
+                jnp.where(lane2 == q, pk2, 0), axis=1, keepdims=True
+            ).reshape(1, 2 * NB)
+            cw_col = jnp.sum(
+                jnp.where(lane2 == q, cw2, 0), axis=1, keepdims=True
+            ).reshape(1, 2 * NB)
+            padfill = jnp.full((1, 128 - 2 * NB), -1, I32)
             pk_row = jnp.concatenate([pk_col, padfill], axis=1)
             cw_row = jnp.concatenate(
-                [cw_col, jnp.zeros((G, 128 - 2 * NB), I32)], axis=1
+                [cw_col, jnp.zeros((1, 128 - 2 * NB), I32)], axis=1
             )
-            srow = pl.multiple_of(bi * G, 8)
-            stage_l_ref[pl.ds(srow, G), :] = jnp.where(
+            stage_l_ref[pl.ds(k, 1), :] = jnp.where(
                 pk_row >= 0, pk_row // 32768, -1
             )
-            stage_r_ref[pl.ds(srow, G), :] = jnp.where(
+            stage_r_ref[pl.ds(k, 1), :] = jnp.where(
                 pk_row >= 0, pk_row - (pk_row // 32768) * 32768, -1
             )
-            stage_w_ref[pl.ds(srow, G), :] = jnp.where(
+            stage_w_ref[pl.ds(k, 1), :] = jnp.where(
                 pk_row >= 0, cw_row, 0
             )
+            return (k + 1, done + 1, j)
 
-            # --------------------------- write merged rows back (cached
-            # windows; lane-class blend so same-row words never clobber)
-            def wb_body(g, _):
-                qg = qsub_ref[g]
-                sb = qsub_ref[G + g]
-                b8 = qsub_ref[2 * G + g]
-                src = pl.multiple_of(g * 8, 8)
-                win = wincache_ref[pl.ds(src, 8), :]
-                nrow = batchbuf_ref[pl.ds(g, 1), :].astype(I16)
-                blend = jnp.where(
-                    (iota8 == sb) & (lmod_wl == qg), nrow, win
-                )
-                wincache_ref[pl.ds(src, 8), :] = blend
-                cp = pltpu.make_async_copy(
-                    wincache_ref.at[pl.ds(src, 8), :],
-                    words_ref.at[pl.ds(b8, 8), :],
-                    sems.at[1],
-                )
-                cp.start()
-                cp.wait()
-                return 0
-
-            jax.lax.fori_loop(0, gcount, wb_body, 0)
-            return (bi + 1, done1, j1)
-
-        _, done, j_next = jax.lax.while_loop(
-            bat_cond, bat_body, (jnp.int32(0), processed, j_pending)
+        _, done, j_last = jax.lax.while_loop(
+            fill_cond, fill_body, (jnp.int32(0), processed, j_prev0)
         )
         _flush_stage(
             counts_ref, row_max_ref, rowwin_ref,
@@ -728,10 +652,11 @@ def _process_affected(
             addvecs_ref, xrows_ref, sems,
             V=V, A=A, R=R, iota_v=iota_v,
         )
-        return (done, j_next)
+        return (done, j_last)
 
-    j_first = jnp.min(jnp.where(flags_ref[...] > 0, flat2, BIG))
-    jax.lax.while_loop(outer_cond, outer_body, (jnp.int32(0), j_first))
+    jax.lax.while_loop(
+        outer_cond, outer_body, (jnp.int32(0), jnp.int32(-1))
+    )
 
 
 def _slab_size(V: int) -> int:
@@ -889,7 +814,6 @@ def _flush_stage(
         "min_frequency",
         "batch_words",
         "group_rows",
-        "gather_words",
         "interpret",
     ),
     donate_argnums=tuple(range(8)),
@@ -913,7 +837,6 @@ def hbm_merge_chunk(
     min_frequency: int,
     batch_words: int = 64,
     group_rows: int = 16,
-    gather_words: int = 8,
     interpret: bool = False,
 ):
     """Run ``chunk_size`` merge steps in ONE kernel dispatch.
@@ -924,8 +847,6 @@ def hbm_merge_chunk(
     NR, WL = words.shape
     A = batch_words
     R = group_rows
-    G = gather_words
-    assert A % G == 0 and (G * 8) % 8 == 0
     kernel = partial(
         _hbm_loop_kernel,
         vocab_cap=V,
@@ -934,7 +855,6 @@ def hbm_merge_chunk(
         num_merges=num_merges,
         chunk_size=chunk_size,
         min_frequency=min_frequency,
-        gather_words=G,
         copy_in=interpret,
     )
     out_shape = [
@@ -958,8 +878,7 @@ def hbm_merge_chunk(
         input_output_aliases={i: i for i in range(8)},
         scratch_shapes=[
             pltpu.VMEM((NR, 128), jnp.int32),       # flags
-            pltpu.VMEM((G * 8, WL), jnp.int16),      # window cache
-            pltpu.VMEM((G, WL), jnp.int32),          # gathered word rows
+            pltpu.VMEM((8, WL), jnp.int16),          # gather window
             pltpu.VMEM((8, V), jnp.int32),           # count-row window
             pltpu.VMEM((A, 128), jnp.int32),         # staged cell lefts
             pltpu.VMEM((A, 128), jnp.int32),         # staged cell rights
@@ -967,7 +886,6 @@ def hbm_merge_chunk(
             pltpu.VMEM((R, V), jnp.int32),           # grouped row deltas
             pltpu.VMEM((chunk_size, 128), jnp.int32),  # record ring
             pltpu.SMEM((R,), jnp.int32),             # distinct row ids
-            pltpu.SMEM((3 * G,), jnp.int32),         # batch (q, sub, base8)
             pltpu.SemaphoreType.DMA((4,)),
         ],
         interpret=interpret,
