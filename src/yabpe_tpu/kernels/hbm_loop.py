@@ -475,13 +475,18 @@ def _process_affected(
     V: int, W: int, NR: int, WL: int, A: int, R: int,
     iota_v, iota_wl, iota_nb,
 ):
-    """Apply the merge to every flagged word and fold the count deltas.
+    """Apply the merge window-at-a-time and fold the count deltas.
 
-    Words are visited one at a time through sublane-window DMAs (batched
-    A at a time for the count-update flush); every CHANGED adjacent pair
-    is staged as a (left, right, +/-freq) cell, then cells are grouped by
-    left symbol and applied as [8, V] row-window RMWs with exact row-max
-    refresh.
+    One visit processes ALL flagged words of an 8-packed-row window
+    (1024 word slots): the merge apply, per-lane-class changed windows,
+    and cell emission are vectorized over the whole [8, WL] window — VPU
+    ops there cost the same vector registers as a single row, word
+    frequencies reconstruct per lane directly from the embedded limb
+    blocks, and a window is visited at most once per merge step, so there
+    are no same-row or same-window write hazards at all. Emitted cells
+    are lane-compacted per window row, staged (extra 128-cell slices when
+    a row's words emit more), and flushed through the row-grouped RMW
+    machinery.
     """
     NB = W - 1
     flat2 = (
@@ -489,6 +494,13 @@ def _process_affected(
         + jax.lax.broadcasted_iota(I32, (NR, 128), 1)
     )
     n_aff = jnp.sum(flags_ref[...])
+    # A visit processes at most TAKE_CAP flagged words so a window row can
+    # never emit more cells than MAX_SLICES 128-cell stage slices hold
+    # (a word's changed window emits <= 2*(W+1) cells); the window is
+    # simply revisited for any remaining flagged words. Typical windows
+    # hold far fewer flagged words than the cap, so one visit suffices.
+    MAX_SLICES = min(5, (2 * NB * 128 + 127) // 128)
+    TAKE_CAP = max(1, (MAX_SLICES * 128) // (2 * W + 4))
 
     def outer_cond(carry):
         processed, _ = carry
@@ -502,146 +514,172 @@ def _process_affected(
 
         def fill_cond(carry):
             k, done, _ = carry
-            return (k < A) & (done < n_aff)
+            # leave room for one window's worst-case slice burst
+            return (k + 8 * MAX_SLICES <= A) & (done < n_aff)
 
         def fill_body(carry):
             k, done, j_prev = carry
-            # Monotone extraction: flagged words are visited in ascending
-            # flat order, so no clear pass is needed (flags stay the
-            # pristine scan snapshot; one reduction pass per word).
+            # next unprocessed flagged word -> its whole window
             flags = flags_ref[...]
             j = jnp.min(
                 jnp.where((flags > 0) & (flat2 > j_prev), flat2, BIG)
             )
-            jr = j // 128
-            q = j - jr * 128
-            base8 = (jr // 8) * 8
-            sub = jr - base8
+            base8 = ((j // 128) // 8) * 8
+            wf = flags_ref[pl.ds(base8, 8), :]  # [8, 128]
+            flatw = (
+                jax.lax.broadcasted_iota(I32, (8, 128), 0) * 128
+                + jax.lax.broadcasted_iota(I32, (8, 128), 1)
+                + base8 * 128
+            )
+            pend = (wf > 0) & (flatw > j_prev)
+            # flat rank of each pending word (row-major): lane cumsum
+            # within rows + exclusive row-offset cumsum
+            lc = _b2i(pend)
+            sft = 1
+            while sft < 128:
+                lc = lc + jnp.concatenate(
+                    [jnp.zeros((8, sft), I32), lc[:, : 128 - sft]], axis=1
+                )
+                sft *= 2
+            rowtot = lc[:, 127:128]  # [8, 1]
+            rowoff = jnp.zeros((8, 1), I32)
+            run = jnp.int32(0)
+            iota_r8 = jax.lax.broadcasted_iota(I32, (8, 1), 0)
+            for rr in range(8):
+                rowoff = jnp.where(iota_r8 == rr, run, rowoff)
+                run = run + jnp.sum(
+                    jnp.where(iota_r8 == rr, rowtot, 0)
+                )
+            rank = lc + rowoff  # inclusive flat rank among pending
+            take = pend & (rank <= TAKE_CAP)
+            nwin = jnp.sum(_b2i(take))
+            j_next_prev = jnp.max(jnp.where(take, flatw, -1))
+            fmask_take = take
 
             cp = pltpu.make_async_copy(
                 words_ref.at[pl.ds(base8, 8), :], gwin_ref, sems.at[1]
             )
             cp.start()
             cp.wait()
-            # i16 buffers have a (16, 128) tile, so a dynamic single-
-            # sublane slice is not lowerable; select the row by mask.
-            win = gwin_ref[...]
-            iota8 = jax.lax.broadcasted_iota(I32, (8, 1), 0)
-            wrow = jnp.sum(
-                jnp.where(iota8 == sub, win.astype(I32), 0),
-                axis=0,
-                keepdims=True,
-            )  # [1, WL]
+            win = gwin_ref[...].astype(I32)  # [8, WL]
 
-            qmask_nb = (iota_nb - (iota_nb // 128) * 128) == q
-            syms = wrow[:, : W * 128]
+            fmask = fmask_take  # [8, 128] words processed this visit
+            fm_nb = jnp.concatenate([fmask] * NB, axis=1)
+            syms = win[:, : W * 128]
             l = syms[:, : NB * 128]
             r = syms[:, 128:]
-            pm = (l == a) & (r == b) & qmask_nb
+            pm = (l == a) & (r == b) & fm_nb
             applied = _leftmost_nonoverlap_blocks(pm, NB)
             applied_i = _b2i(applied)
-            applied_at = (
-                jnp.concatenate(
-                    [applied_i, jnp.zeros((1, 128), I32)], axis=1
-                )
-                != 0
-            )
-            # The symbol one position after an applied merge is consumed.
-            removed_full = (
-                jnp.concatenate(
-                    [jnp.zeros((1, 128), I32), applied_i], axis=1
-                )
-                != 0
-            )
+            z8 = jnp.zeros((8, 128), I32)
+            applied_at = jnp.concatenate([applied_i, z8], axis=1) != 0
+            removed_full = jnp.concatenate([z8, applied_i], axis=1) != 0
             newvals = jnp.where(applied_at, c, syms)
             keep = jnp.logical_not(removed_full) & (syms >= 0)
             merged = _butterfly_compact_blocks(newvals, keep, W, -1)
-            qmask_w = (
-                iota_wl[:, : W * 128]
-                - (iota_wl[:, : W * 128] // 128) * 128
-            ) == q
-            new_syms = jnp.where(qmask_w, merged, syms)
+            fm_w = jnp.concatenate([fmask] * W, axis=1)
+            new_syms = jnp.where(fm_w, merged, syms)
 
-            newrow = jnp.concatenate(
-                [new_syms, wrow[:, W * 128 :]], axis=1
+            newwin = jnp.concatenate(
+                [new_syms, win[:, W * 128 :]], axis=1
             ).astype(I16)
-            gwin_ref[...] = jnp.where(iota8 == sub, newrow, win)
+            gwin_ref[...] = newwin
             cpo = pltpu.make_async_copy(
                 gwin_ref, words_ref.at[pl.ds(base8, 8), :], sems.at[1]
             )
             cpo.start()
-            cpo.wait()
 
-            f_lo = _extract_lane(wrow, W * 128 + q)
-            f_hi = _extract_lane(wrow, (W + 1) * 128 + q)
-            f = (f_lo & 0xFFFF) | (f_hi << 16)
+            # ---- cells, overlapped with the write-back DMA ----
+            # per-(row, lane-class) changed windows, folded per block
+            first_m = jnp.full((8, 128), BIG, I32)
+            last_m = jnp.full((8, 128), -1, I32)
+            napp_m = jnp.zeros((8, 128), I32)
+            for kk in range(NB):
+                blk = applied_i[:, kk * 128 : (kk + 1) * 128]
+                first_m = jnp.minimum(
+                    first_m, jnp.where(blk > 0, kk, BIG)
+                )
+                last_m = jnp.maximum(last_m, jnp.where(blk > 0, kk, -1))
+                napp_m = napp_m + blk
+            in_old = jnp.concatenate(
+                [
+                    (kk >= first_m - 1) & (kk <= last_m + 1)
+                    for kk in range(NB)
+                ],
+                axis=1,
+            )
+            in_new = jnp.concatenate(
+                [
+                    (kk >= first_m - 1) & (kk <= last_m + 1 - napp_m)
+                    for kk in range(NB)
+                ],
+                axis=1,
+            )
+
+            # per-lane word frequency straight from the limb blocks
+            f128 = (win[:, W * 128 : (W + 1) * 128] & 0xFFFF) | (
+                win[:, (W + 1) * 128 :] << 16
+            )
+            f_nb = jnp.concatenate([f128] * NB, axis=1)
 
             nl = new_syms[:, : NB * 128]
             nr = new_syms[:, 128:]
-            valid_old = qmask_nb & (r >= 0)
-            valid_new = qmask_nb & (nr >= 0)
-            # Changed-window emission (the reference's last-occurrence
-            # bound, trainer.py suffix argument): emit EVERY valid pair
-            # inside the window, nothing outside. Prefix pairs (< first-1)
-            # are untouched; suffix pairs only shift left, so old pair k
-            # (k >= last+2) equals new pair k-napp and both sides of that
-            # bijection are excluded — the emitted multiset difference is
-            # exactly the true count delta (fuzz-verified vs the naive
-            # full-pair difference over 300k random words):
-            #   old pairs: k in [first-1, last+1]
-            #   new pairs: k in [first-1, last+1-napp]
-            pos_nb = iota_nb // 128
-            first_p = jnp.min(jnp.where(applied, pos_nb, BIG))
-            last_p = jnp.max(jnp.where(applied, pos_nb, -1))
-            napp = jnp.sum(applied_i)
-            in_old = (pos_nb >= first_p - 1) & (pos_nb <= last_p + 1)
-            in_new = (pos_nb >= first_p - 1) & (
-                pos_nb <= last_p + 1 - napp
-            )
             cv = jnp.concatenate(
-                [valid_old & in_old, valid_new & in_new], axis=1
+                [
+                    fm_nb & (r >= 0) & in_old,
+                    fm_nb & (nr >= 0) & in_new,
+                ],
+                axis=1,
             )
             cl = jnp.concatenate([l, nl], axis=1)
             cr = jnp.concatenate([r, nr], axis=1)
             packed = jnp.where(cv, cl * 32768 + cr, -1)
             cw = jnp.where(
                 cv,
-                jnp.concatenate(
-                    [jnp.full((1, NB * 128), -1, I32),
-                     jnp.full((1, NB * 128), 1, I32)],
-                    axis=1,
-                )
-                * f,
+                jnp.concatenate([-f_nb, f_nb], axis=1),
                 0,
             )
-            # All of this word's cells live in lane class q: fold the
-            # [1, 2*NB*128] candidate vectors to [2*NB, 128] and extract
-            # lane q — two tiny reshapes + masked sums instead of two
-            # full-width butterfly compactions (the per-word hot cost).
-            lane2 = jax.lax.broadcasted_iota(I32, (2 * NB, 128), 1)
-            pk2 = packed.reshape(2 * NB, 128)
-            cw2 = cw.reshape(2 * NB, 128)
-            pk_col = jnp.sum(
-                jnp.where(lane2 == q, pk2, 0), axis=1, keepdims=True
-            ).reshape(1, 2 * NB)
-            cw_col = jnp.sum(
-                jnp.where(lane2 == q, cw2, 0), axis=1, keepdims=True
-            ).reshape(1, 2 * NB)
-            padfill = jnp.full((1, 128 - 2 * NB), -1, I32)
-            pk_row = jnp.concatenate([pk_col, padfill], axis=1)
-            cw_row = jnp.concatenate(
-                [cw_col, jnp.zeros((1, 128 - 2 * NB), I32)], axis=1
+            cpk = _compact_lanes(packed, cv, -1)
+            cwc = _compact_lanes(cw, cv, 0)
+            ccount = jnp.sum(_b2i(cv), axis=1, keepdims=True)  # [8, 1]
+            cmax = jnp.max(ccount)
+
+            kpos = pl.multiple_of(k, 8)
+            stage_l_ref[pl.ds(kpos, 8), :] = jnp.where(
+                cpk[:, :128] >= 0, cpk[:, :128] // 32768, -1
             )
-            stage_l_ref[pl.ds(k, 1), :] = jnp.where(
-                pk_row >= 0, pk_row // 32768, -1
+            stage_r_ref[pl.ds(kpos, 8), :] = jnp.where(
+                cpk[:, :128] >= 0,
+                cpk[:, :128] - (cpk[:, :128] // 32768) * 32768,
+                -1,
             )
-            stage_r_ref[pl.ds(k, 1), :] = jnp.where(
-                pk_row >= 0, pk_row - (pk_row // 32768) * 32768, -1
+            stage_w_ref[pl.ds(kpos, 8), :] = jnp.where(
+                cpk[:, :128] >= 0, cwc[:, :128], 0
             )
-            stage_w_ref[pl.ds(k, 1), :] = jnp.where(
-                pk_row >= 0, cw_row, 0
-            )
-            return (k + 1, done + 1, j)
+            used = jnp.int32(8)
+            for sl in range(1, MAX_SLICES):
+                lo = sl * 128
+                sl_needed = cmax > lo
+
+                @pl.when(sl_needed)
+                def _(sl=sl, lo=lo):
+                    kp = pl.multiple_of(k + sl * 8, 8)
+                    pk_s = cpk[:, lo : lo + 128]
+                    cw_s = cwc[:, lo : lo + 128]
+                    stage_l_ref[pl.ds(kp, 8), :] = jnp.where(
+                        pk_s >= 0, pk_s // 32768, -1
+                    )
+                    stage_r_ref[pl.ds(kp, 8), :] = jnp.where(
+                        pk_s >= 0, pk_s - (pk_s // 32768) * 32768, -1
+                    )
+                    stage_w_ref[pl.ds(kp, 8), :] = jnp.where(
+                        pk_s >= 0, cw_s, 0
+                    )
+
+                used = used + jnp.where(sl_needed, 8, 0)
+
+            cpo.wait()
+            return (k + used, done + nwin, j_next_prev)
 
         _, done, j_last = jax.lax.while_loop(
             fill_cond, fill_body, (jnp.int32(0), processed, j_prev0)
@@ -835,7 +873,7 @@ def hbm_merge_chunk(
     num_merges: int,
     chunk_size: int,
     min_frequency: int,
-    batch_words: int = 64,
+    batch_words: int = 128,
     group_rows: int = 16,
     interpret: bool = False,
 ):
