@@ -226,9 +226,14 @@ def _hbm_loop_kernel(
     stage_l_ref,     # [A, 128] i32 VMEM  staged cell left syms (-1 empty)
     stage_r_ref,     # [A, 128] i32 VMEM
     stage_w_ref,     # [A, 128] i32 VMEM
-    addvecs_ref,     # [R, V] i32 VMEM    per-distinct-row count deltas
+    addvecs_ref,     # [4, V] i32 VMEM    line-bucket delta vectors
     mring_ref,       # [chunk_size, 128] i32 VMEM  merge-record ring
-    xrows_ref,       # [R] i32 SMEM       distinct row ids
+    colacc_ref,      # [F, V] f32 VMEM    pending column deltas
+    colids_v_ref,    # [F, 1] i32 VMEM    slot -> column id (-1 empty)
+    colmeta_ref,     # [2F+4] i32 SMEM    ids, per-slot mags, nslots, maxmag
+    colblk_ref,      # [V, 128] i32 VMEM  eviction block window
+    pendrow_ref,     # [1, V] i32 VMEM    verify read-through overlay
+    pendpos_ref,     # [1, V] i32 VMEM    per-row positive pending bound
     sems,            # DMA semaphores (4,)
     *,
     vocab_cap: int,
@@ -245,7 +250,7 @@ def _hbm_loop_kernel(
     NR = words_in.shape[0]
     WL = (W + 2) * 128
     A = stage_l_ref.shape[0]
-    R = addvecs_ref.shape[0]
+    F = colacc_ref.shape[0]
     NB = W - 1  # adjacent-pair position blocks
 
     # VMEM-windowed outputs do not inherit the aliased input's contents
@@ -296,6 +301,26 @@ def _hbm_loop_kernel(
     # must be 128-aligned in the minor dimension — hence 128-wide rows.
     mring_ref[...] = jnp.full((chunk_size, 128), -1, I32)
 
+    # Pending-column state starts empty and is drained before the
+    # dispatch returns, so the HBM table is always exact at dispatch
+    # boundaries.
+    for _sb in range(V // _slab_size(V)):
+        _lo = _sb * _slab_size(V)
+        colacc_ref[:, pl.ds(_lo, _slab_size(V))] = jnp.zeros(
+            (F, _slab_size(V)), F32
+        )
+    colids_v_ref[...] = jnp.full((F, 1), -1, I32)
+
+    def _meta_init(t, _):
+        colmeta_ref[t] = -1
+        colmeta_ref[F + t] = 0
+        return 0
+
+    jax.lax.fori_loop(0, F, _meta_init, 0)
+    colmeta_ref[2 * F] = 0
+    colmeta_ref[2 * F + 1] = 0
+    pendpos_ref[...] = jnp.zeros((1, V), I32)
+
     def step_body(step_i, _):
         step = chunk_start + step_i
         in_range = step < num_merges
@@ -317,7 +342,43 @@ def _hbm_loop_kernel(
                 cand = rm == m
                 a = _argmax_lanes(jnp.where(cand, lex, -1))
                 base = row_window_read(a, rowwin_ref, sems.at[0])
-                row = rowwin_ref[pl.ds(a - base, 1), :]
+                # read-through: overlay this row's pending column deltas
+                pendrow_ref[...] = jnp.zeros((1, V), I32)
+
+                @pl.when(colmeta_ref[2 * F] > 0)
+                def _():
+                    # slabbed over V so no [F, V]-sized value stays live
+                    # (whole-array reads spill ~16 MB of registers)
+                    sl = _slab_size(V)
+                    pend = jnp.zeros((F, 1), F32)
+                    for sb in range(V // sl):
+                        lo = sb * sl
+                        io = jax.lax.broadcasted_iota(
+                            I32, (1, sl), 1
+                        ) + lo
+                        pend = pend + jnp.sum(
+                            jnp.where(
+                                io == a,
+                                colacc_ref[:, pl.ds(lo, sl)],
+                                0.0,
+                            ),
+                            axis=1,
+                            keepdims=True,
+                        )  # exact: a single lane is picked
+                    for sb in range(V // sl):
+                        lo = sb * sl
+                        io = jax.lax.broadcasted_iota(
+                            I32, (1, sl), 1
+                        ) + lo
+                        pendrow_ref[:, pl.ds(lo, sl)] = jnp.sum(
+                            jnp.where(colids_v_ref[...] == io, pend, 0.0),
+                            axis=0,
+                            keepdims=True,
+                        ).astype(I32)
+
+                row = (
+                    rowwin_ref[pl.ds(a - base, 1), :] + pendrow_ref[...]
+                )
                 tm = jnp.max(row)
                 ok = (tm == m) | (m <= 0)
                 row_max_ref[...] = jnp.where(iota_v == a, tm, rm)
@@ -327,8 +388,12 @@ def _hbm_loop_kernel(
                 vcond, vbody,
                 (jnp.bool_(False), jnp.int32(0), jnp.int32(0)),
             )
-            # rowwin still holds the confirming window; re-slice the row.
-            best_row = rowwin_ref[pl.ds(left - (left // 8) * 8, 1), :]
+            # rowwin still holds the confirming window (and pendrow the
+            # confirming overlay); re-slice the row.
+            best_row = (
+                rowwin_ref[pl.ds(left - (left // 8) * 8, 1), :]
+                + pendrow_ref[...]
+            )
             right = _argmax_lanes(
                 jnp.where(best_row == best_count, lex, -1)
             )
@@ -443,18 +508,24 @@ def _hbm_loop_kernel(
                 flags_ref[...] = flag
 
                 _process_affected(
-                    a, b, c,
+                    a, b, c, best_count,
                     words_ref, flags_ref, counts_ref, row_max_ref,
                     gwin_ref, rowwin_ref,
                     stage_l_ref, stage_r_ref, stage_w_ref,
-                    addvecs_ref, xrows_ref, sems,
-                    V=V, W=W, NR=NR, WL=WL, A=A, R=R,
+                    addvecs_ref, colacc_ref, colids_v_ref, colmeta_ref,
+                    colblk_ref, pendpos_ref, sems,
+                    V=V, W=W, NR=NR, WL=WL, A=A, F=F,
                     iota_v=iota_v, iota_wl=iota_wl, iota_nb=iota_nb,
                 )
 
         return 0
 
     jax.lax.fori_loop(0, chunk_size, step_body, 0)
+
+    _evict_columns(
+        counts_ref, colacc_ref, colids_v_ref, colmeta_ref, colblk_ref,
+        pendpos_ref, sems, V=V, F=F,
+    )
 
     cpm = pltpu.make_async_copy(
         mring_ref,
@@ -466,13 +537,14 @@ def _hbm_loop_kernel(
 
 
 def _process_affected(
-    a, b, c,
+    a, b, c, best_count,
     words_ref, flags_ref, counts_ref, row_max_ref,
     gwin_ref, rowwin_ref,
     stage_l_ref, stage_r_ref, stage_w_ref,
-    addvecs_ref, xrows_ref, sems,
+    addvecs_ref, colacc_ref, colids_v_ref, colmeta_ref, colblk_ref,
+    pendpos_ref, sems,
     *,
-    V: int, W: int, NR: int, WL: int, A: int, R: int,
+    V: int, W: int, NR: int, WL: int, A: int, F: int,
     iota_v, iota_wl, iota_nb,
 ):
     """Apply the merge window-at-a-time and fold the count deltas.
@@ -685,10 +757,12 @@ def _process_affected(
             fill_cond, fill_body, (jnp.int32(0), processed, j_prev0)
         )
         _flush_stage(
+            a, b, c, best_count,
             counts_ref, row_max_ref, rowwin_ref,
             stage_l_ref, stage_r_ref, stage_w_ref,
-            addvecs_ref, xrows_ref, sems,
-            V=V, A=A, R=R, iota_v=iota_v,
+            addvecs_ref, colacc_ref, colids_v_ref, colmeta_ref,
+            colblk_ref, pendpos_ref, sems,
+            V=V, A=A, F=F, iota_v=iota_v,
         )
         return (done, j_last)
 
@@ -705,20 +779,40 @@ def _slab_size(V: int) -> int:
 
 
 def _flush_stage(
+    a, b, c, best_count,
     counts_ref, row_max_ref, rowwin_ref,
     stage_l_ref, stage_r_ref, stage_w_ref,
-    addvecs_ref, xrows_ref, sems,
+    addvecs_ref, colacc_ref, colids_v_ref, colmeta_ref, colblk_ref,
+    pendpos_ref, sems,
     *,
-    V: int, A: int, R: int, iota_v,
+    V: int, A: int, F: int, iota_v,
 ):
-    _SLAB = _slab_size(V)
-    """Fold staged cells into the HBM count table.
+    """Fold staged cells into the count table via the 4-line structure.
 
-    Cells are compacted, grouped by left symbol (up to R distinct rows per
-    pass), each group's column deltas built as a [R, V] one-hot matmul
-    (3-limb f32, exact), and each distinct row applied as one [8, V]
-    window RMW with an exact row-max refresh.
+    Merging (a, b) -> c only changes table cells in column a, column c,
+    row b, row c, and the (a, b) cell (the VMEM fused kernel's proven
+    delta structure); every emitted cell therefore classifies into one of
+    those buckets — or is part of an off-line old/new pair whose
+    contributions sum to zero and can be dropped. Rows b, c and the
+    (a, b) cell apply as window RMWs with exact row-max refresh; column
+    deltas accumulate in the pending-column buffer (f32, exact while
+    magnitudes stay under 2^24 — guarded by per-slot magnitude tracking
+    with early eviction) and row_max takes their positive parts as a
+    bound, repaired lazily by the read-through verify.
     """
+    _SLAB = _slab_size(V)
+    # evict-all before this flush could overflow slots or f32 exactness
+    # (per-slot magnitudes; the running max makes the guard one compare)
+    @pl.when(
+        (colmeta_ref[2 * F] >= F - 2)
+        | (colmeta_ref[2 * F + 1] + best_count > (1 << 23) + (1 << 22))
+    )
+    def _():
+        _evict_columns(
+            counts_ref, colacc_ref, colids_v_ref, colmeta_ref,
+            colblk_ref, pendpos_ref, sems, V=V, F=F,
+        )
+
     CAP = A * 128
     lg = stage_l_ref[...].reshape(1, CAP)
     rg = stage_r_ref[...].reshape(1, CAP)
@@ -729,116 +823,235 @@ def _flush_stage(
     cwc = _compact_lanes(wg, valid, 0)
     n_cells = jnp.sum(_b2i(valid))
 
-    lgc = jnp.where(cpk >= 0, cpk // 32768, BIG)
-    rgc = jnp.where(cpk >= 0, cpk - (cpk // 32768) * 32768, 0)
-    # Overwrite the stage refs with the compacted 2D chunk views: chunk
-    # ck = sublane row ck (sublane-dynamic ref reads below — dynamic LANE
-    # slicing and value-level dynamic_slice are unsupported in Mosaic).
+    lgc = jnp.where(cpk >= 0, cpk // 32768, -1)
+    rgc = jnp.where(cpk >= 0, cpk - (cpk // 32768) * 32768, -1)
     stage_l_ref[...] = lgc.reshape(A, 128)
     stage_r_ref[...] = rgc.reshape(A, 128)
     stage_w_ref[...] = cwc.reshape(A, 128)
     n_chunks = (n_cells + 127) // 128
 
-    def rows_remain(start_state):
-        remaining, _ = start_state
-        return jnp.min(remaining) < BIG
+    # d_ab: the lone off-line cell (one masked reduction over all cells)
+    is_ab_all = (lgc == a) & (rgc == b)
+    d_ab = jnp.sum(jnp.where(is_ab_all, cwc, 0))
 
-    def rows_pass(state):
-        remaining, _ = state
-        # collect up to R distinct left symbols
-        xcol = jnp.full((R, 1), -1, I32)
-        rem = remaining
-        for rr in range(R):
-            x = jnp.min(rem)
-            found = x < BIG
-            xr = jnp.where(found, x, -1).astype(I32)
-            xcol = jnp.where(
-                jax.lax.broadcasted_iota(I32, (R, 1), 0) == rr, xr, xcol
-            )
-            xrows_ref[rr] = xr
-            rem = jnp.where((rem == x) & found, BIG, rem)
-        remaining = rem
+    # dvec rows: 0 = col a (keyed by l), 1 = col c (keyed by l),
+    #            2 = row b (keyed by r), 3 = row c (keyed by r)
+    addvecs_ref[0:4, :] = jnp.zeros((4, V), I32)
 
-        addvecs_ref[...] = jnp.zeros((R, V), I32)
+    def chunk_body(ck, _):
+        l_ch = stage_l_ref[pl.ds(ck, 1), :]
+        r_ch = stage_r_ref[pl.ds(ck, 1), :]
+        w_ch = stage_w_ref[pl.ds(ck, 1), :]
+        live = l_ch >= 0
+        m_ab = live & (l_ch == a) & (r_ch == b)
+        m_ca = live & jnp.logical_not(m_ab) & (r_ch == a)
+        m_cc = live & jnp.logical_not(m_ab) & jnp.logical_not(m_ca) & (
+            r_ch == c
+        )
+        rest = live & jnp.logical_not(m_ab | m_ca | m_cc)
+        m_rb = rest & (l_ch == b)
+        m_rc = rest & jnp.logical_not(m_rb) & (l_ch == c)
 
-        def chunk_body(ck, _):
-            l_ch = stage_l_ref[pl.ds(ck, 1), :]
-            r_ch = stage_r_ref[pl.ds(ck, 1), :]
-            w_ch = stage_w_ref[pl.ds(ck, 1), :]
-            wsel = jnp.where(l_ch == xcol, w_ch, 0)  # [R, 128]
-            h2 = wsel >> 24
-            rem12 = wsel - (h2 << 24)
+        wl = jnp.concatenate(
+            [jnp.where(m_ca, w_ch, 0), jnp.where(m_cc, w_ch, 0)], axis=0
+        )  # [2, 128] keyed by l
+        wr = jnp.concatenate(
+            [jnp.where(m_rb, w_ch, 0), jnp.where(m_rc, w_ch, 0)], axis=0
+        )  # [2, 128] keyed by r
+
+        hi = jax.lax.Precision.HIGHEST
+
+        def hist(wmat, key_sub, out_row):
+            h2 = wmat >> 24
+            rem12 = wmat - (h2 << 24)
             h1 = rem12 >> 12
             h0 = rem12 - (h1 << 12)
-            r_sub = r_ch.reshape(128, 1)
             for sb in range(V // _SLAB):
                 base = sb * _SLAB
                 oh = (
-                    r_sub
+                    key_sub
                     == jax.lax.broadcasted_iota(I32, (128, _SLAB), 1)
                     + base
                 ).astype(F32)
-                hi = jax.lax.Precision.HIGHEST
                 d = (
                     jax.lax.dot_general(
                         h2.astype(F32), oh,
                         dimension_numbers=(((1,), (0,)), ((), ())),
-                        preferred_element_type=F32,
-                        precision=hi,
-                    ).astype(I32)
-                    * (1 << 24)
+                        preferred_element_type=F32, precision=hi,
+                    ).astype(I32) * (1 << 24)
                     + jax.lax.dot_general(
                         h1.astype(F32), oh,
                         dimension_numbers=(((1,), (0,)), ((), ())),
-                        preferred_element_type=F32,
-                        precision=hi,
-                    ).astype(I32)
-                    * (1 << 12)
+                        preferred_element_type=F32, precision=hi,
+                    ).astype(I32) * (1 << 12)
                     + jax.lax.dot_general(
                         h0.astype(F32), oh,
                         dimension_numbers=(((1,), (0,)), ((), ())),
-                        preferred_element_type=F32,
-                        precision=hi,
+                        preferred_element_type=F32, precision=hi,
                     ).astype(I32)
                 )
-                addvecs_ref[:, pl.ds(base, _SLAB)] = (
-                    addvecs_ref[:, pl.ds(base, _SLAB)] + d
+                addvecs_ref[out_row : out_row + 2, pl.ds(base, _SLAB)] = (
+                    addvecs_ref[out_row : out_row + 2, pl.ds(base, _SLAB)]
+                    + d
                 )
-            return 0
 
-        jax.lax.fori_loop(0, n_chunks, chunk_body, 0)
+        hist(wl, jnp.where(live, l_ch, V).reshape(128, 1), 0)
+        hist(wr, jnp.where(live, r_ch, V).reshape(128, 1), 2)
+        return 0
 
-        # apply one RMW per distinct row
-        for rr in range(R):
-            x = xrows_ref[rr]
+    jax.lax.fori_loop(0, n_chunks, chunk_body, 0)
 
-            @pl.when(x >= 0)
-            def _rmw():
-                base = (x // 8) * 8
+    # ---- rows b, c and the (a, b) cell: window RMWs, exact row_max ----
+    def row_rmw(x, addvec):
+        base = (x // 8) * 8
+        cp = pltpu.make_async_copy(
+            counts_ref.at[pl.ds(base, 8), :], rowwin_ref, sems.at[2]
+        )
+        cp.start()
+        cp.wait()
+        sub = x - base
+        row = rowwin_ref[pl.ds(sub, 1), :] + addvec
+        rowwin_ref[pl.ds(sub, 1), :] = row
+        cpo = pltpu.make_async_copy(
+            rowwin_ref, counts_ref.at[pl.ds(base, 8), :], sems.at[2]
+        )
+        cpo.start()
+        cpo.wait()
+        # The bound must cover this row's PENDING positive column deltas
+        # too (the table row alone under-bounds the true max).
+        bound = jnp.max(row) + _extract_lane(pendpos_ref[...], x)
+        row_max_ref[...] = jnp.where(
+            iota_v == x, bound, row_max_ref[...]
+        )
+
+    row_rmw(b, addvecs_ref[2:3, :])
+    row_rmw(c, addvecs_ref[3:4, :])
+
+    @pl.when(d_ab != 0)
+    def _():
+        row_rmw(a, jnp.where(iota_v == b, d_ab, 0))
+
+    # ---- columns a, c: pending-column accumulator ----
+    def col_accumulate(col_id, dvec_row):
+        dvec = addvecs_ref[dvec_row : dvec_row + 1, :]
+
+        @pl.when(jnp.max(jnp.abs(dvec)) > 0)
+        def _():
+            nsl = colmeta_ref[2 * F]
+            match = colids_v_ref[...] == col_id
+            have = jnp.max(_b2i(match)) > 0
+            slot_existing = _argmax_lanes(
+                _b2i(match).reshape(1, F)
+            )
+            slot = jnp.where(have, slot_existing, nsl).astype(I32)
+            colmeta_ref[2 * F] = nsl + jnp.where(have, 0, 1)
+            colmeta_ref[slot] = col_id
+            # per-slot magnitude: |cell| grows by at most best_count
+            oldmag = jnp.where(have, colmeta_ref[F + slot], 0)
+            newmag = oldmag + best_count
+            colmeta_ref[F + slot] = newmag
+            colmeta_ref[2 * F + 1] = jnp.maximum(
+                colmeta_ref[2 * F + 1], newmag
+            )
+            colids_v_ref[...] = jnp.where(
+                jax.lax.broadcasted_iota(I32, (F, 1), 0) == slot,
+                col_id,
+                colids_v_ref[...],
+            )
+            cur = colacc_ref[pl.ds(slot, 1), :]
+            colacc_ref[pl.ds(slot, 1), :] = cur + dvec.astype(F32)
+            pos = jnp.maximum(dvec, 0)
+            row_max_ref[...] = row_max_ref[...] + pos
+            pendpos_ref[...] = pendpos_ref[...] + pos
+
+    col_accumulate(a, 0)
+    col_accumulate(c, 1)
+
+
+def _evict_columns(
+    counts_ref, colacc_ref, colids_v_ref, colmeta_ref, colblk_ref,
+    pendpos_ref, sems, *, V: int, F: int,
+):
+    """Materialize all pending columns into the HBM table, block-grouped.
+
+    For each dirty 128-column block: a one-hot [F, 128] selector maps
+    slots to their lane, ONE f32 matmul contracting the slot dimension
+    builds the [V, 128] addend (each output cell has at most one
+    contributing slot — slots are unique per column — so f32 is exact
+    while magnitudes stay under 2^24, which the flush's tracking
+    guarantees), and the table block is read-modify-written. True counts
+    do not change (pending work moves into the table), so row_max stays
+    a valid bound untouched.
+    """
+
+    @pl.when(colmeta_ref[2 * F] > 0)
+    def _():
+        # distinct dirty blocks: each handled at the FIRST slot
+        # referencing it
+        nsl = colmeta_ref[2 * F]
+
+        def slot_body(s, _):
+            cid = colmeta_ref[s]
+            blk = cid // 128
+
+            # first slot with this block?
+            def chk(t, acc):
+                return acc | ((colmeta_ref[t] // 128) == blk)
+
+            seen_before = jax.lax.fori_loop(0, s, chk, jnp.bool_(False))
+
+            @pl.when(jnp.logical_not(seen_before) & (cid >= 0))
+            def _():
+                sel = (
+                    (colids_v_ref[...] - blk * 128)
+                    == jax.lax.broadcasted_iota(I32, (F, 128), 1)
+                ) & (colids_v_ref[...] >= 0)
+                self_f32 = sel.astype(F32)
+                bb = pl.multiple_of(blk * 128, 128)
                 cp = pltpu.make_async_copy(
-                    counts_ref.at[pl.ds(base, 8), :], rowwin_ref,
+                    counts_ref.at[:, pl.ds(bb, 128)], colblk_ref,
                     sems.at[2],
                 )
                 cp.start()
                 cp.wait()
-                sub = x - base
-                row = rowwin_ref[pl.ds(sub, 1), :]
-                row = row + addvecs_ref[pl.ds(rr, 1), :]
-                rowwin_ref[pl.ds(sub, 1), :] = row
+                # slabbed over V (sublane dim of the addend): no [V, 128]
+                # or [F, V] value stays live
+                sl = _slab_size(V)
+                for sb in range(V // sl):
+                    lo = sb * sl
+                    addend = jax.lax.dot_general(
+                        colacc_ref[:, pl.ds(lo, sl)], self_f32,
+                        dimension_numbers=(((0,), (0,)), ((), ())),
+                        preferred_element_type=F32,
+                        precision=jax.lax.Precision.HIGHEST,
+                    ).astype(I32)  # [sl, 128]
+                    colblk_ref[pl.ds(lo, sl), :] = (
+                        colblk_ref[pl.ds(lo, sl), :] + addend
+                    )
                 cpo = pltpu.make_async_copy(
-                    rowwin_ref, counts_ref.at[pl.ds(base, 8), :],
+                    colblk_ref, counts_ref.at[:, pl.ds(bb, 128)],
                     sems.at[2],
                 )
                 cpo.start()
                 cpo.wait()
-                new_max = jnp.max(row)
-                row_max_ref[...] = jnp.where(
-                    iota_v == x, new_max, row_max_ref[...]
-                )
 
-        return (remaining, state[1] + 1)
+            return 0
 
-    jax.lax.while_loop(rows_remain, rows_pass, (lgc, jnp.int32(0)))
+        jax.lax.fori_loop(0, nsl, slot_body, 0)
+        slz = _slab_size(V)
+        for sb in range(V // slz):
+            colacc_ref[:, pl.ds(sb * slz, slz)] = jnp.zeros((F, slz), F32)
+        colids_v_ref[...] = jnp.full((F, 1), -1, I32)
+
+        def reset(t, _):
+            colmeta_ref[t] = -1
+            colmeta_ref[F + t] = 0
+            return 0
+
+        jax.lax.fori_loop(0, F, reset, 0)
+        colmeta_ref[2 * F] = 0
+        colmeta_ref[2 * F + 1] = 0
+        pendpos_ref[...] = jnp.zeros((1, pendpos_ref.shape[1]), I32)
 
 
 @partial(
@@ -852,6 +1065,7 @@ def _flush_stage(
         "min_frequency",
         "batch_words",
         "group_rows",
+        "pending_cols",
         "interpret",
     ),
     donate_argnums=tuple(range(8)),
@@ -875,6 +1089,7 @@ def hbm_merge_chunk(
     min_frequency: int,
     batch_words: int = 128,
     group_rows: int = 16,
+    pending_cols: int = 128,
     interpret: bool = False,
 ):
     """Run ``chunk_size`` merge steps in ONE kernel dispatch.
@@ -884,7 +1099,8 @@ def hbm_merge_chunk(
     V = vocab_cap
     NR, WL = words.shape
     A = batch_words
-    R = group_rows
+    del group_rows  # superseded by the line-bucket flush
+    F = pending_cols
     kernel = partial(
         _hbm_loop_kernel,
         vocab_cap=V,
@@ -921,9 +1137,14 @@ def hbm_merge_chunk(
             pltpu.VMEM((A, 128), jnp.int32),         # staged cell lefts
             pltpu.VMEM((A, 128), jnp.int32),         # staged cell rights
             pltpu.VMEM((A, 128), jnp.int32),         # staged cell weights
-            pltpu.VMEM((R, V), jnp.int32),           # grouped row deltas
+            pltpu.VMEM((4, V), jnp.int32),           # line-bucket deltas
             pltpu.VMEM((chunk_size, 128), jnp.int32),  # record ring
-            pltpu.SMEM((R,), jnp.int32),             # distinct row ids
+            pltpu.VMEM((F, V), jnp.float32),         # pending columns
+            pltpu.VMEM((F, 1), jnp.int32),           # slot -> column id
+            pltpu.SMEM((2 * F + 4,), jnp.int32),     # slot meta
+            pltpu.VMEM((V, 128), jnp.int32),         # eviction block
+            pltpu.VMEM((1, V), jnp.int32),           # verify overlay
+            pltpu.VMEM((1, V), jnp.int32),           # pending-positive
             pltpu.SemaphoreType.DMA((4,)),
         ],
         interpret=interpret,

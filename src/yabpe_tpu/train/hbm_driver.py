@@ -26,6 +26,10 @@ def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
 
 
+class HbmKernelUnsupported(ValueError):
+    """The problem violates an HBM-kernel exactness precondition."""
+
+
 #: i16 symbol ids bound the vocabulary; the per-word changed-cell buffer
 #: (128 slots) bounds the word width at 64 symbols (2*(W-1) <= 126).
 MAX_VOCAB_CAP = 32768
@@ -127,6 +131,13 @@ def run_hbm_merge_loop(
 
     packed = pack_words(table)
     corner_np = initial_corner_counts(table, b0)
+    if int(corner_np.max(initial=0)) >= (1 << 23):
+        # The pending-column accumulator holds deltas in f32 (exact below
+        # 2^24 with headroom for one best-count accumulation step).
+        raise HbmKernelUnsupported(
+            "max pair count reaches the pending-column f32 exactness "
+            "bound; use the XLA bigvocab engine"
+        )
     token_bytes, token_len = lexkey.initial_token_matrix(base_tokens, V, L)
     lex_rank = lexkey.initial_lex_ranks(base_tokens, V)
 
@@ -179,6 +190,7 @@ def run_hbm_merge_loop(
 
 __all__ = [
     "run_hbm_merge_loop",
+    "HbmKernelUnsupported",
     "hbm_applicable",
     "pack_words",
     "initial_corner_counts",

@@ -304,21 +304,30 @@ class BBPETrainer:
             )
 
         if self._should_use_hbm(table, vocab_cap):
-            from yabpe_tpu.train.hbm_driver import run_hbm_merge_loop
+            from yabpe_tpu.train.hbm_driver import (
+                HbmKernelUnsupported,
+                run_hbm_merge_loop,
+            )
 
             _, saver = self._checkpoint_hooks()
-            return run_hbm_merge_loop(
-                table,
-                base,
-                vocab_cap=vocab_cap,
-                num_merges=num_merges,
-                min_frequency=cfg.min_frequency,
-                # Each dispatch pays a host<->device round trip (~40 ms
-                # through this link); the HBM kernel is built for long
-                # chunks.
-                chunk_size=max(cfg.merge_chunk_size, 2048),
-                on_chunk=saver,
-            )
+            try:
+                return run_hbm_merge_loop(
+                    table,
+                    base,
+                    vocab_cap=vocab_cap,
+                    num_merges=num_merges,
+                    min_frequency=cfg.min_frequency,
+                    # Each dispatch pays a host<->device round trip
+                    # (~40 ms through this link); the HBM kernel is built
+                    # for long chunks.
+                    chunk_size=max(cfg.merge_chunk_size, 2048),
+                    on_chunk=saver,
+                )
+            except HbmKernelUnsupported as e:
+                _LOG.info(
+                    "HBM kernel unavailable (%s); using the bigvocab "
+                    "engine", e,
+                )
 
         if vocab_cap > 2048:
             # Large vocabularies: HBM count table + lazy row-max selection

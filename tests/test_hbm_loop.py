@@ -163,3 +163,36 @@ def test_hbm_kernel_dense_affected_interpret():
     _, merges = train_state.merges_to_bytes(merges_ids, base)
     _, want = train_merges_oracle(counter, [], 320, 1)
     assert merges == want
+
+
+def test_hbm_kernel_multislab_evictions_interpret():
+    """Multi-slab vocab (V=4096) + >128 distinct pending columns: forces
+    the pending-column accumulator through slot-exhaustion evictions and
+    exercises the per-row pending-positive bound (a row RMW while that
+    row holds pending column increments under-bounded row_max before the
+    fix)."""
+    from collections import Counter
+
+    rng = np.random.default_rng(3)
+    counter = Counter()
+    for _ in range(2500):
+        w = "".join(
+            chr(97 + int(x))
+            for x in rng.integers(0, 9, int(rng.integers(2, 10)))
+        )
+        counter[(" " + w).encode()] += int(rng.integers(1, 50))
+    base = Vocab.base([])
+    wt = WordTable.from_counter(counter)
+    num = 180  # > 128 new columns -> at least one eviction
+    merges_ids = run_hbm_merge_loop(
+        wt,
+        base,
+        vocab_cap=4096,
+        num_merges=num,
+        min_frequency=1,
+        chunk_size=64,
+        interpret=True,
+    )
+    _, merges = train_state.merges_to_bytes(merges_ids, base)
+    _, want = train_merges_oracle(counter, [], 256 + num, 1)
+    assert merges == want[:num]
