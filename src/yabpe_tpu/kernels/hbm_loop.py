@@ -43,15 +43,21 @@ Per merge step:
    positive. Unchanged pairs cancel exactly and are never emitted
    (the reference's bounded-update-window optimization, exact by the
    same argument).
-4. **count update**: cells are grouped by table row and applied as
-   [8, V]-window read-modify-write DMAs (one per distinct left symbol,
-   a handful per typical step); `row_max` for every touched row is
-   recomputed exactly from the updated window, so bounds only ever
-   tighten on the rows that matter.
+4. **count update**: merging (a, b) -> c only changes table column a,
+   column c, row b, row c and the (a, b) cell, so staged cells classify
+   into those five buckets (off-line cells provably cancel and drop).
+   Rows apply as at most THREE [8, V]-window RMWs per step with exact
+   row-max refresh; column deltas accumulate in an f32 pending-column
+   buffer (one slot per column, per-slot magnitude guard) that selection
+   reads through, evicted block-grouped via one MXU matmul per dirty
+   128-column block and drained before every dispatch returns. Row-max
+   bounds carry each row's pending positive mass, so they stay true
+   upper bounds between evictions.
 
-Capacity limits: vocab_cap <= 32768 (i16 symbol ids) and word width
-<= 64 bytes (changed-cell buffers); the driver falls back to the XLA
-bigvocab engine beyond either.
+Capacity limits: vocab_cap <= 32768 (i16 symbol ids), word width
+<= 64 bytes (changed-cell buffers), and max pair count < 2^23 (f32
+pending columns); the driver falls back to the XLA bigvocab engine
+beyond any of them.
 """
 
 from __future__ import annotations

@@ -45,10 +45,12 @@ def hbm_applicable(
     del max_token_len
     W = max(word_width, 2)
     nr = _round_up((n_words + 127) // 128, 8)
-    # words (i16) + flags (i32) must leave room for the fixed windows,
-    # grouped-delta buffers and compiler temporaries in ~110 MB VMEM.
+    # The word table appears TWICE in VMEM (aliased input+output windows)
+    # and must leave room for the pending-column buffer (16 MB), the
+    # eviction block (16 MB), flags, stage/row windows and compiler
+    # temporaries within ~110 MB usable VMEM.
     words_bytes = nr * (W + 2) * 128 * 2 + nr * 128 * 4
-    return words_bytes <= 64 * 1024 * 1024
+    return words_bytes <= 36 * 1024 * 1024
 
 
 def pack_words(table: WordTable) -> np.ndarray:
