@@ -240,6 +240,7 @@ def _hbm_loop_kernel(
     colblk_ref,      # [V, 128] i32 VMEM  eviction block window
     pendrow_ref,     # [1, V] i32 VMEM    verify read-through overlay
     pendpos_ref,     # [1, V] i32 VMEM    per-row positive pending bound
+    pendany_ref,     # [1, V] i32 VMEM    rows with ANY pending delta
     sems,            # DMA semaphores (4,)
     *,
     vocab_cap: int,
@@ -326,6 +327,7 @@ def _hbm_loop_kernel(
     colmeta_ref[2 * F] = 0
     colmeta_ref[2 * F + 1] = 0
     pendpos_ref[...] = jnp.zeros((1, V), I32)
+    pendany_ref[...] = jnp.zeros((1, V), I32)
 
     def step_body(step_i, _):
         step = chunk_start + step_i
@@ -351,7 +353,9 @@ def _hbm_loop_kernel(
                 # read-through: overlay this row's pending column deltas
                 pendrow_ref[...] = jnp.zeros((1, V), I32)
 
-                @pl.when(colmeta_ref[2 * F] > 0)
+                has_pend = _extract_lane(pendany_ref[...], a) > 0
+
+                @pl.when((colmeta_ref[2 * F] > 0) & has_pend)
                 def _():
                     # slabbed over V so no [F, V]-sized value stays live
                     # (whole-array reads spill ~16 MB of registers)
@@ -519,7 +523,7 @@ def _hbm_loop_kernel(
                     gwin_ref, rowwin_ref,
                     stage_l_ref, stage_r_ref, stage_w_ref,
                     addvecs_ref, colacc_ref, colids_v_ref, colmeta_ref,
-                    colblk_ref, pendpos_ref, sems,
+                    colblk_ref, pendpos_ref, pendany_ref, sems,
                     V=V, W=W, NR=NR, WL=WL, A=A, F=F,
                     iota_v=iota_v, iota_wl=iota_wl, iota_nb=iota_nb,
                 )
@@ -530,7 +534,7 @@ def _hbm_loop_kernel(
 
     _evict_columns(
         counts_ref, colacc_ref, colids_v_ref, colmeta_ref, colblk_ref,
-        pendpos_ref, sems, V=V, F=F,
+        pendpos_ref, pendany_ref, sems, V=V, F=F,
     )
 
     cpm = pltpu.make_async_copy(
@@ -548,7 +552,7 @@ def _process_affected(
     gwin_ref, rowwin_ref,
     stage_l_ref, stage_r_ref, stage_w_ref,
     addvecs_ref, colacc_ref, colids_v_ref, colmeta_ref, colblk_ref,
-    pendpos_ref, sems,
+    pendpos_ref, pendany_ref, sems,
     *,
     V: int, W: int, NR: int, WL: int, A: int, F: int,
     iota_v, iota_wl, iota_nb,
@@ -767,7 +771,7 @@ def _process_affected(
             counts_ref, row_max_ref, rowwin_ref,
             stage_l_ref, stage_r_ref, stage_w_ref,
             addvecs_ref, colacc_ref, colids_v_ref, colmeta_ref,
-            colblk_ref, pendpos_ref, sems,
+            colblk_ref, pendpos_ref, pendany_ref, sems,
             V=V, A=A, F=F, iota_v=iota_v,
         )
         return (done, j_last)
@@ -789,7 +793,7 @@ def _flush_stage(
     counts_ref, row_max_ref, rowwin_ref,
     stage_l_ref, stage_r_ref, stage_w_ref,
     addvecs_ref, colacc_ref, colids_v_ref, colmeta_ref, colblk_ref,
-    pendpos_ref, sems,
+    pendpos_ref, pendany_ref, sems,
     *,
     V: int, A: int, F: int, iota_v,
 ):
@@ -816,7 +820,7 @@ def _flush_stage(
     def _():
         _evict_columns(
             counts_ref, colacc_ref, colids_v_ref, colmeta_ref,
-            colblk_ref, pendpos_ref, sems, V=V, F=F,
+            colblk_ref, pendpos_ref, pendany_ref, sems, V=V, F=F,
         )
 
     CAP = A * 128
@@ -969,6 +973,7 @@ def _flush_stage(
             pos = jnp.maximum(dvec, 0)
             row_max_ref[...] = row_max_ref[...] + pos
             pendpos_ref[...] = pendpos_ref[...] + pos
+            pendany_ref[...] = pendany_ref[...] | _b2i(dvec != 0)
 
     col_accumulate(a, 0)
     col_accumulate(c, 1)
@@ -976,7 +981,7 @@ def _flush_stage(
 
 def _evict_columns(
     counts_ref, colacc_ref, colids_v_ref, colmeta_ref, colblk_ref,
-    pendpos_ref, sems, *, V: int, F: int,
+    pendpos_ref, pendany_ref, sems, *, V: int, F: int,
 ):
     """Materialize all pending columns into the HBM table, block-grouped.
 
@@ -1058,6 +1063,7 @@ def _evict_columns(
         colmeta_ref[2 * F] = 0
         colmeta_ref[2 * F + 1] = 0
         pendpos_ref[...] = jnp.zeros((1, pendpos_ref.shape[1]), I32)
+        pendany_ref[...] = jnp.zeros((1, pendany_ref.shape[1]), I32)
 
 
 @partial(
@@ -1151,6 +1157,7 @@ def hbm_merge_chunk(
             pltpu.VMEM((V, 128), jnp.int32),         # eviction block
             pltpu.VMEM((1, V), jnp.int32),           # verify overlay
             pltpu.VMEM((1, V), jnp.int32),           # pending-positive
+            pltpu.VMEM((1, V), jnp.int32),           # pending-any mask
             pltpu.SemaphoreType.DMA((4,)),
         ],
         interpret=interpret,
