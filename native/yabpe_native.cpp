@@ -141,6 +141,111 @@ struct SpecialSet {
   }
 };
 
+// ---------------------------------------------------------------------------
+// SIMD run skippers (AVX2): advance through runs of single-byte ASCII
+// characters of one class 32 bytes at a time. Each returns the first
+// index >= k whose byte is NOT an ASCII member of the class — any byte
+// >= 0x80 fails the class test, so multi-byte UTF-8 always falls back to
+// the exact scalar decoder. Builds without AVX2 keep the pure-scalar
+// loops (the skippers degenerate to identity).
+// ---------------------------------------------------------------------------
+#if defined(__AVX2__)
+#include <immintrin.h>
+
+static inline int64_t skip_ascii_letters(const uint8_t* t, int64_t n,
+                                         int64_t k) {
+  const __m256i bit5 = _mm256_set1_epi8(0x20);
+  const __m256i ca = _mm256_set1_epi8('a');
+  const __m256i c25 = _mm256_set1_epi8(25);
+  while (k + 32 <= n) {
+    __m256i v = _mm256_loadu_si256(reinterpret_cast<const __m256i*>(t + k));
+    __m256i d = _mm256_sub_epi8(_mm256_or_si256(v, bit5), ca);
+    __m256i ok = _mm256_cmpeq_epi8(_mm256_min_epu8(d, c25), d);
+    uint32_t m = static_cast<uint32_t>(_mm256_movemask_epi8(ok));
+    if (m != 0xFFFFFFFFu) return k + __builtin_ctz(~m);
+    k += 32;
+  }
+  return k;
+}
+
+static inline int64_t skip_ascii_numbers(const uint8_t* t, int64_t n,
+                                         int64_t k) {
+  const __m256i c0 = _mm256_set1_epi8('0');
+  const __m256i c9 = _mm256_set1_epi8(9);
+  while (k + 32 <= n) {
+    __m256i v = _mm256_loadu_si256(reinterpret_cast<const __m256i*>(t + k));
+    __m256i d = _mm256_sub_epi8(v, c0);
+    __m256i ok = _mm256_cmpeq_epi8(_mm256_min_epu8(d, c9), d);
+    uint32_t m = static_cast<uint32_t>(_mm256_movemask_epi8(ok));
+    if (m != 0xFFFFFFFFu) return k + __builtin_ctz(~m);
+    k += 32;
+  }
+  return k;
+}
+
+static inline __m256i ascii_space_mask(__m256i v) {
+  // ASCII whitespace: {9, 10, 11, 12, 13, 32}
+  const __m256i c9 = _mm256_set1_epi8(9);
+  const __m256i c4 = _mm256_set1_epi8(4);
+  const __m256i sp = _mm256_set1_epi8(' ');
+  __m256i d = _mm256_sub_epi8(v, c9);
+  __m256i ctl = _mm256_cmpeq_epi8(_mm256_min_epu8(d, c4), d);
+  return _mm256_or_si256(ctl, _mm256_cmpeq_epi8(v, sp));
+}
+
+static inline int64_t skip_ascii_spaces(const uint8_t* t, int64_t n,
+                                        int64_t k) {
+  while (k + 32 <= n) {
+    __m256i v = _mm256_loadu_si256(reinterpret_cast<const __m256i*>(t + k));
+    uint32_t m =
+        static_cast<uint32_t>(_mm256_movemask_epi8(ascii_space_mask(v)));
+    if (m != 0xFFFFFFFFu) return k + __builtin_ctz(~m);
+    k += 32;
+  }
+  return k;
+}
+
+static inline int64_t skip_ascii_other(const uint8_t* t, int64_t n,
+                                       int64_t k) {
+  // ASCII bytes that are neither letters, numbers nor whitespace.
+  const __m256i bit5 = _mm256_set1_epi8(0x20);
+  const __m256i ca = _mm256_set1_epi8('a');
+  const __m256i c25 = _mm256_set1_epi8(25);
+  const __m256i c0 = _mm256_set1_epi8('0');
+  const __m256i c9 = _mm256_set1_epi8(9);
+  const __m256i hibit = _mm256_set1_epi8(static_cast<char>(0x80));
+  const __m256i zero = _mm256_setzero_si256();
+  while (k + 32 <= n) {
+    __m256i v = _mm256_loadu_si256(reinterpret_cast<const __m256i*>(t + k));
+    __m256i dl = _mm256_sub_epi8(_mm256_or_si256(v, bit5), ca);
+    __m256i isl = _mm256_cmpeq_epi8(_mm256_min_epu8(dl, c25), dl);
+    __m256i dn = _mm256_sub_epi8(v, c0);
+    __m256i isn = _mm256_cmpeq_epi8(_mm256_min_epu8(dn, c9), dn);
+    __m256i iss = ascii_space_mask(v);
+    __m256i ascii = _mm256_cmpeq_epi8(_mm256_and_si256(v, hibit), zero);
+    __m256i bad = _mm256_or_si256(_mm256_or_si256(isl, isn), iss);
+    __m256i ok = _mm256_andnot_si256(bad, ascii);
+    uint32_t m = static_cast<uint32_t>(_mm256_movemask_epi8(ok));
+    if (m != 0xFFFFFFFFu) return k + __builtin_ctz(~m);
+    k += 32;
+  }
+  return k;
+}
+#else
+static inline int64_t skip_ascii_letters(const uint8_t*, int64_t, int64_t k) {
+  return k;
+}
+static inline int64_t skip_ascii_numbers(const uint8_t*, int64_t, int64_t k) {
+  return k;
+}
+static inline int64_t skip_ascii_spaces(const uint8_t*, int64_t, int64_t k) {
+  return k;
+}
+static inline int64_t skip_ascii_other(const uint8_t*, int64_t, int64_t k) {
+  return k;
+}
+#endif
+
 // One scanner step: token starting at byte offset i, returns its end offset.
 // Specials are checked first, in the order given (trainer-dialect
 // alternation order, trainer.py:163-169).
@@ -180,6 +285,8 @@ int64_t next_token_end(const uint8_t* text, int64_t n, int64_t i,
   if (is_letter(cj)) {
     int64_t k = j + lj;
     while (k < n) {
+      k = skip_ascii_letters(text, n, k);
+      if (k >= n) break;
       int lk;
       uint32_t ck = decode(text, k, &lk);
       if (!is_letter(ck)) break;
@@ -190,6 +297,8 @@ int64_t next_token_end(const uint8_t* text, int64_t n, int64_t i,
   if (is_number(cj)) {
     int64_t k = j + lj;
     while (k < n) {
+      k = skip_ascii_numbers(text, n, k);
+      if (k >= n) break;
       int lk;
       uint32_t ck = decode(text, k, &lk);
       if (!is_number(ck)) break;
@@ -200,6 +309,8 @@ int64_t next_token_end(const uint8_t* text, int64_t n, int64_t i,
   if (!is_space(cj)) {
     int64_t k = j + lj;
     while (k < n) {
+      k = skip_ascii_other(text, n, k);
+      if (k >= n) break;
       int lk;
       uint32_t ck = decode(text, k, &lk);
       if (is_space(ck) || is_letter(ck) || is_number(ck)) break;
@@ -214,6 +325,14 @@ int64_t next_token_end(const uint8_t* text, int64_t n, int64_t i,
   int64_t last_start = i;  // start offset of the final whitespace char seen
   int64_t ws_chars = 0;
   while (k < n) {
+    int64_t k2 = skip_ascii_spaces(text, n, k);
+    if (k2 > k) {
+      // ASCII whitespace is one byte per char
+      ws_chars += k2 - k;
+      last_start = k2 - 1;
+      k = k2;
+      if (k >= n) break;
+    }
     int lk;
     uint32_t ck = decode(text, k, &lk);
     if (!is_space(ck)) break;

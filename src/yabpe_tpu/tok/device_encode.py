@@ -348,9 +348,36 @@ class DeviceEncoder:
             packed = jnp.where(result >= 0, result, 0xFFFF).astype(jnp.uint16)
             pending.append((batch_idx, len(batch_idx), packed))
 
-        # Phase 2: read back and unpack.
+        # Phase 2: ONE consolidated readback. The remote link stalls
+        # per transfer (measured: an identical 1 MB copy takes 0.02 s or
+        # minutes depending on link state), so tiles are padded to a
+        # common width and concatenated ON DEVICE, and a single
+        # device->host copy replaces one per tile.
+        big_np = None
+        row0 = 0
+        if len(pending) > 1:
+            wmax = max(p.shape[1] for (_, _, p) in pending)
+            big = jnp.concatenate(
+                [
+                    p
+                    if p.shape[1] == wmax
+                    else jnp.pad(
+                        p,
+                        ((0, 0), (0, wmax - p.shape[1])),
+                        constant_values=0xFFFF,
+                    )
+                    for (_, _, p) in pending
+                ],
+                axis=0,
+            )
+            big_np = np.asarray(big)
+
         for batch_idx, n, packed in pending:
-            result = np.asarray(packed)[:n]
+            if big_np is not None:
+                result = big_np[row0 : row0 + n, : packed.shape[1]]
+                row0 += packed.shape[0]
+            else:
+                result = np.asarray(packed)[:n]
             # Vectorized row extraction: boolean-mask flatten preserves
             # row-major order, so one gather + cumsum slicing replaces a
             # per-row numpy loop.
