@@ -36,13 +36,15 @@ Per merge step:
 2. **vocab update**: merged byte string, dedup against live tokens,
    lex-rank insertion (same construction as the VMEM fused kernel).
 3. **affected words**: one vectorized match pass over the word table
-   yields per-word flags; words are then processed through per-word
-   sublane-window DMAs: leftmost-non-overlapping merge applied in the
-   strided view, and every CHANGED adjacent pair is emitted as a
-   (row=left, col=right, +/-freq) cell — old pairs negative, new pairs
-   positive. Unchanged pairs cancel exactly and are never emitted
-   (the reference's bounded-update-window optimization, exact by the
-   same argument).
+   yields per-word flags; flagged words are then processed one 8-row
+   WINDOW at a time (all of a window's flagged words together — vector
+   ops on [8, WL] occupy the same registers as one row): the leftmost-
+   non-overlapping merge applies in the strided view, and every adjacent
+   pair inside the changed window [first_merge-1, last_merge+1] is
+   emitted as a (left, right, +/-freq) cell — old pairs negative, new
+   pairs positive; excluded suffix pairs cancel as a shift bijection
+   (the reference's bounded-update-window optimization, fuzz-verified
+   over 300k random words).
 4. **count update**: merging (a, b) -> c only changes table column a,
    column c, row b, row c and the (a, b) cell, so staged cells classify
    into those five buckets (off-line cells provably cancel and drop).
@@ -1107,6 +1109,8 @@ def hbm_merge_chunk(
     """Run ``chunk_size`` merge steps in ONE kernel dispatch.
 
     Returns the updated 8-tuple of state arrays (all aliased in place).
+    ``group_rows`` is accepted for call-site compatibility but unused
+    since the line-bucket flush replaced per-row grouping.
     """
     V = vocab_cap
     NR, WL = words.shape
