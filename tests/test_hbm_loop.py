@@ -196,3 +196,110 @@ def test_hbm_kernel_multislab_evictions_interpret():
     _, merges = train_state.merges_to_bytes(merges_ids, base)
     _, want = train_merges_oracle(counter, [], 256 + num, 1)
     assert merges == want[:num]
+
+
+# -------------------------------------------------------------- routing
+
+
+def test_forced_hbm_unfit_raises(tmp_path):
+    from yabpe_tpu import BBPETrainer, BBPETrainerConfig
+
+    f = tmp_path / "c.txt"
+    f.write_text("tiny corpus " * 20, encoding="utf-8")
+    cfg = BBPETrainerConfig(
+        vocab_size=40000,
+        min_frequency=1,
+        use_hbm_kernel=True,
+        use_native_loop=False,  # tiny corpora otherwise take the C++ loop
+    )
+    with pytest.raises(ValueError, match="exceeds the HBM"):
+        BBPETrainer(cfg).train([f])
+
+
+def test_hbm_routing_unit(monkeypatch, small_corpus):
+    """Auto routing: on TPU when applicable, never under checkpoint_dir,
+    never when disabled, on CPU only by explicit force."""
+    from yabpe_tpu import BBPETrainer, BBPETrainerConfig
+    from yabpe_tpu.utils import jaxsetup
+
+    _, wt, _ = small_corpus
+    monkeypatch.setattr(jaxsetup, "effective_backend", lambda: "tpu")
+    tr = BBPETrainer(BBPETrainerConfig(vocab_size=4096, min_frequency=1))
+    assert tr._should_use_hbm(wt, 4096)
+    assert not tr._should_use_hbm(wt, 65536)  # past i16 vocab bound
+
+    tr = BBPETrainer(
+        BBPETrainerConfig(
+            vocab_size=4096, min_frequency=1, checkpoint_dir="/tmp/x"
+        )
+    )
+    assert not tr._should_use_hbm(wt, 4096)
+
+    tr = BBPETrainer(
+        BBPETrainerConfig(
+            vocab_size=4096, min_frequency=1, use_hbm_kernel=False
+        )
+    )
+    assert not tr._should_use_hbm(wt, 4096)
+
+    monkeypatch.setattr(jaxsetup, "effective_backend", lambda: "cpu")
+    tr = BBPETrainer(BBPETrainerConfig(vocab_size=4096, min_frequency=1))
+    assert not tr._should_use_hbm(wt, 4096)
+    tr = BBPETrainer(
+        BBPETrainerConfig(
+            vocab_size=4096, min_frequency=1, use_hbm_kernel=True
+        )
+    )
+    assert tr._should_use_hbm(wt, 4096)
+
+
+def test_hbm_exactness_bound_raises():
+    """Pair counts at/above 2^23 must refuse the f32 pending-column path
+    (trainer then falls back to the bigvocab engine)."""
+    from collections import Counter
+
+    from yabpe_tpu.train.hbm_driver import HbmKernelUnsupported
+
+    counter = Counter({b" aa": 1 << 23})
+    base = Vocab.base([])
+    wt = WordTable.from_counter(counter)
+    with pytest.raises(HbmKernelUnsupported):
+        run_hbm_merge_loop(
+            wt, base, vocab_cap=512, num_merges=4, min_frequency=1,
+            chunk_size=4, interpret=True,
+        )
+
+
+def test_trainer_falls_back_when_hbm_unsupported(tmp_path, monkeypatch):
+    """Training must complete (via the XLA engines) when the HBM kernel
+    rejects the problem at runtime, and still match the oracle."""
+    from collections import Counter
+
+    from yabpe_tpu import BBPETrainer, BBPETrainerConfig
+    from yabpe_tpu.train import hbm_driver, trainer as trainer_mod
+    from yabpe_tpu.utils import jaxsetup
+
+    monkeypatch.setattr(jaxsetup, "effective_backend", lambda: "tpu")
+
+    def _boom(*a, **k):
+        raise hbm_driver.HbmKernelUnsupported("forced by test")
+
+    monkeypatch.setattr(hbm_driver, "run_hbm_merge_loop", _boom)
+
+    text = "abra cadabra abra abra cad " * 30
+    f = tmp_path / "c.txt"
+    f.write_text(text, encoding="utf-8")
+    model = BBPETrainer(
+        BBPETrainerConfig(
+            vocab_size=280,
+            min_frequency=1,
+            use_native_loop=False,
+            use_fused_kernel=False,  # isolate the hbm -> bigvocab route
+        )
+    ).train([f])
+
+    from yabpe_tpu.pretok.ingest import count_pretokens
+
+    counter = count_pretokens([f], [], max_workers=1)
+    _, want = train_merges_oracle(counter, [], 280, 1)
+    assert model.merges == want
