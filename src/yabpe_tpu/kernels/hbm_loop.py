@@ -77,10 +77,16 @@ F32 = jnp.float32
 NEG = -(2**30)
 BIG = 2**30
 
-# scalars layout (SMEM [1, 8])
+# scalars layout (SMEM [1, 8]); slots 3..6 are per-step selection temps
+# (sel_a, sel_b, sel_count, sel_stop) written by whichever of the
+# select/replay branches ran — they carry no cross-dispatch state.
 _NEXT_ID = 0
 _STOPPED = 1
 _NUM_DONE = 2
+_SEL_A = 3
+_SEL_B = 4
+_SEL_CNT = 5
+_SEL_STOP = 6
 
 
 def _shift_blocks(x: jax.Array, s_blocks: int, fill) -> jax.Array:
@@ -252,6 +258,7 @@ def _hbm_loop_kernel(
     chunk_size: int,
     min_frequency: int,
     copy_in: bool,
+    ablate: int,
 ):
     V = vocab_cap
     W = word_width
@@ -294,6 +301,11 @@ def _hbm_loop_kernel(
     iota_wl = jax.lax.broadcasted_iota(I32, (1, WL), 1)
     iota_nb = iota_wl[:, : NB * 128]
     chunk_start = cfg_ref[0, 0]
+    # Steps below this global index REPLAY the recorded (a, b) from the
+    # merge buffer instead of selecting: checkpoint resume rebuilds the
+    # full device state deterministically through the exact same
+    # apply/count machinery, skipping only the argmax work.
+    replay_until = cfg_ref[0, 1]
 
     def row_window_read(rid, buf_ref, sem):
         base = (rid // 8) * 8
@@ -309,6 +321,16 @@ def _hbm_loop_kernel(
     # dimension 4 -> 128 (16 MB per window at 32k merges), and DMA slices
     # must be 128-aligned in the minor dimension — hence 128-wide rows.
     mring_ref[...] = jnp.full((chunk_size, 128), -1, I32)
+
+    @pl.when(replay_until > chunk_start)
+    def _load_replay_records():
+        cpr = pltpu.make_async_copy(
+            merges_ref.at[pl.ds(chunk_start, chunk_size), :],
+            mring_ref,
+            sems.at[3],
+        )
+        cpr.start()
+        cpr.wait()
 
     # Pending-column state starts empty and is drained before the
     # dispatch returns, so the HBM table is always exact at dispatch
@@ -340,19 +362,10 @@ def _hbm_loop_kernel(
         def _active_step():
             next_id = scalars_ref[0, _NEXT_ID]
             lex = lex_rank_ref[...]
+            is_replay = step < replay_until
 
-            # ------------------------------------------- select + verify
-            def vcond(c):
-                ok, _, _ = c
-                return jnp.logical_not(ok)
-
-            def vbody(c):
-                rm = row_max_ref[...]
-                m = jnp.max(rm)
-                cand = rm == m
-                a = _argmax_lanes(jnp.where(cand, lex, -1))
-                base = row_window_read(a, rowwin_ref, sems.at[0])
-                # read-through: overlay this row's pending column deltas
+            def overlay_pend(a):
+                # read-through: overlay row ``a``'s pending column deltas
                 pendrow_ref[...] = jnp.zeros((1, V), I32)
 
                 has_pend = _extract_lane(pendany_ref[...], a) > 0
@@ -388,31 +401,74 @@ def _hbm_loop_kernel(
                             keepdims=True,
                         ).astype(I32)
 
-                row = (
-                    rowwin_ref[pl.ds(a - base, 1), :] + pendrow_ref[...]
+            @pl.when(is_replay)
+            def _replay_select():
+                # (a, b) come from the recorded merge; the exact current
+                # count of (a, b) still feeds the pending-column magnitude
+                # guard, read through one row window + overlay.
+                i128 = jax.lax.broadcasted_iota(I32, (1, 128), 1)
+                row = mring_ref[pl.ds(step_i, 1), :]
+                ra = jnp.sum(jnp.where(i128 == 0, row, 0)).astype(I32)
+                rb = jnp.sum(jnp.where(i128 == 1, row, 0)).astype(I32)
+                a_s = jnp.maximum(ra, 0)
+                b_s = jnp.maximum(rb, 0)
+                base = row_window_read(a_s, rowwin_ref, sems.at[0])
+                overlay_pend(a_s)
+                crow = (
+                    rowwin_ref[pl.ds(a_s - base, 1), :] + pendrow_ref[...]
                 )
-                tm = jnp.max(row)
-                ok = (tm == m) | (m <= 0)
-                row_max_ref[...] = jnp.where(iota_v == a, tm, rm)
-                return (ok, a, jnp.minimum(tm, m))
+                scalars_ref[0, _SEL_A] = a_s
+                scalars_ref[0, _SEL_B] = b_s
+                scalars_ref[0, _SEL_CNT] = _extract_lane(crow, b_s)
+                scalars_ref[0, _SEL_STOP] = (ra < 0).astype(I32)
 
-            _, left, best_count = jax.lax.while_loop(
-                vcond, vbody,
-                (jnp.bool_(False), jnp.int32(0), jnp.int32(0)),
-            )
-            # rowwin still holds the confirming window (and pendrow the
-            # confirming overlay); re-slice the row.
-            best_row = (
-                rowwin_ref[pl.ds(left - (left // 8) * 8, 1), :]
-                + pendrow_ref[...]
-            )
-            right = _argmax_lanes(
-                jnp.where(best_row == best_count, lex, -1)
-            )
+            @pl.when(jnp.logical_not(is_replay))
+            def _select_verify():
+                def vcond(c):
+                    ok, _, _ = c
+                    return jnp.logical_not(ok)
 
-            stop_now = (best_count < max(min_frequency, 1)) | (
-                best_count <= 0
-            )
+                def vbody(c):
+                    rm = row_max_ref[...]
+                    m = jnp.max(rm)
+                    cand = rm == m
+                    a = _argmax_lanes(jnp.where(cand, lex, -1))
+                    base = row_window_read(a, rowwin_ref, sems.at[0])
+                    overlay_pend(a)
+                    row = (
+                        rowwin_ref[pl.ds(a - base, 1), :]
+                        + pendrow_ref[...]
+                    )
+                    tm = jnp.max(row)
+                    ok = (tm == m) | (m <= 0)
+                    row_max_ref[...] = jnp.where(iota_v == a, tm, rm)
+                    return (ok, a, jnp.minimum(tm, m))
+
+                _, left, best_count = jax.lax.while_loop(
+                    vcond, vbody,
+                    (jnp.bool_(False), jnp.int32(0), jnp.int32(0)),
+                )
+                # rowwin still holds the confirming window (and pendrow
+                # the confirming overlay); re-slice the row.
+                best_row = (
+                    rowwin_ref[pl.ds(left - (left // 8) * 8, 1), :]
+                    + pendrow_ref[...]
+                )
+                right = _argmax_lanes(
+                    jnp.where(best_row == best_count, lex, -1)
+                )
+                stop = (best_count < max(min_frequency, 1)) | (
+                    best_count <= 0
+                )
+                scalars_ref[0, _SEL_A] = left
+                scalars_ref[0, _SEL_B] = right
+                scalars_ref[0, _SEL_CNT] = best_count
+                scalars_ref[0, _SEL_STOP] = stop.astype(I32)
+
+            left = scalars_ref[0, _SEL_A]
+            right = scalars_ref[0, _SEL_B]
+            best_count = scalars_ref[0, _SEL_CNT]
+            stop_now = scalars_ref[0, _SEL_STOP] != 0
             scalars_ref[0, _STOPPED] = stop_now.astype(I32)
 
             @pl.when(jnp.logical_not(stop_now))
@@ -505,30 +561,37 @@ def _hbm_loop_kernel(
                 # a whole-words value forced ~100 MB of register spills.
                 # Compares are in i32: i16-vs-broadcast compares trip an
                 # i1 relayout bug in Mosaic.
-                flag = jnp.zeros((NR, 128), I32)
-                for k in range(NB):
-                    mk = (
-                        words_ref[:, k * 128 : (k + 1) * 128].astype(I32)
-                        == a
-                    ) & (
-                        words_ref[
-                            :, (k + 1) * 128 : (k + 2) * 128
-                        ].astype(I32)
-                        == b
-                    )
-                    flag = flag | _b2i(mk)
-                flags_ref[...] = flag
+                if not (ablate & 1):
+                    flag = jnp.zeros((NR, 128), I32)
+                    for k in range(NB):
+                        mk = (
+                            words_ref[
+                                :, k * 128 : (k + 1) * 128
+                            ].astype(I32)
+                            == a
+                        ) & (
+                            words_ref[
+                                :, (k + 1) * 128 : (k + 2) * 128
+                            ].astype(I32)
+                            == b
+                        )
+                        flag = flag | _b2i(mk)
+                    flags_ref[...] = flag
 
-                _process_affected(
-                    a, b, c, best_count,
-                    words_ref, flags_ref, counts_ref, row_max_ref,
-                    gwin_ref, rowwin_ref,
-                    stage_l_ref, stage_r_ref, stage_w_ref,
-                    addvecs_ref, colacc_ref, colids_v_ref, colmeta_ref,
-                    colblk_ref, pendpos_ref, pendany_ref, sems,
-                    V=V, W=W, NR=NR, WL=WL, A=A, F=F,
-                    iota_v=iota_v, iota_wl=iota_wl, iota_nb=iota_nb,
-                )
+                    if not (ablate & 4):
+                        _process_affected(
+                            a, b, c, best_count,
+                            words_ref, flags_ref, counts_ref, row_max_ref,
+                            gwin_ref, rowwin_ref,
+                            stage_l_ref, stage_r_ref, stage_w_ref,
+                            addvecs_ref, colacc_ref, colids_v_ref,
+                            colmeta_ref, colblk_ref, pendpos_ref,
+                            pendany_ref, sems,
+                            V=V, W=W, NR=NR, WL=WL, A=A, F=F,
+                            iota_v=iota_v, iota_wl=iota_wl,
+                            iota_nb=iota_nb,
+                            skip_flush=bool(ablate & 2),
+                        )
 
         return 0
 
@@ -558,6 +621,7 @@ def _process_affected(
     *,
     V: int, W: int, NR: int, WL: int, A: int, F: int,
     iota_v, iota_wl, iota_nb,
+    skip_flush: bool = False,
 ):
     """Apply the merge window-at-a-time and fold the count deltas.
 
@@ -768,14 +832,15 @@ def _process_affected(
         _, done, j_last = jax.lax.while_loop(
             fill_cond, fill_body, (jnp.int32(0), processed, j_prev0)
         )
-        _flush_stage(
-            a, b, c, best_count,
-            counts_ref, row_max_ref, rowwin_ref,
-            stage_l_ref, stage_r_ref, stage_w_ref,
-            addvecs_ref, colacc_ref, colids_v_ref, colmeta_ref,
-            colblk_ref, pendpos_ref, pendany_ref, sems,
-            V=V, A=A, F=F, iota_v=iota_v,
-        )
+        if not skip_flush:
+            _flush_stage(
+                a, b, c, best_count,
+                counts_ref, row_max_ref, rowwin_ref,
+                stage_l_ref, stage_r_ref, stage_w_ref,
+                addvecs_ref, colacc_ref, colids_v_ref, colmeta_ref,
+                colblk_ref, pendpos_ref, pendany_ref, sems,
+                V=V, A=A, F=F, iota_v=iota_v,
+            )
         return (done, j_last)
 
     jax.lax.while_loop(
@@ -1081,6 +1146,7 @@ def _evict_columns(
         "group_rows",
         "pending_cols",
         "interpret",
+        "ablate",
     ),
     donate_argnums=tuple(range(8)),
 )
@@ -1105,12 +1171,19 @@ def hbm_merge_chunk(
     group_rows: int = 16,
     pending_cols: int = 128,
     interpret: bool = False,
+    ablate: int = 0,
 ):
     """Run ``chunk_size`` merge steps in ONE kernel dispatch.
 
     Returns the updated 8-tuple of state arrays (all aliased in place).
     ``group_rows`` is accepted for call-site compatibility but unused
     since the line-bucket flush replaced per-row grouping.
+
+    ``ablate`` compiles phase-ablated PROFILING variants (results are NOT
+    exact models): bit 0 skips everything past the vocab update, bit 2
+    skips only the affected-word scan's processing, bit 1 skips the
+    count-table flush. Used with replay mode to decompose per-step cost
+    on real workloads (the remote PJRT link exposes no op-level profile).
     """
     V = vocab_cap
     NR, WL = words.shape
@@ -1126,6 +1199,7 @@ def hbm_merge_chunk(
         chunk_size=chunk_size,
         min_frequency=min_frequency,
         copy_in=interpret,
+        ablate=ablate,
     )
     out_shape = [
         jax.ShapeDtypeStruct(words.shape, words.dtype),

@@ -111,8 +111,18 @@ def run_hbm_merge_loop(
     chunk_size: int = 2048,
     interpret: bool = False,
     on_chunk=None,
+    resume: tuple[np.ndarray, int] | None = None,
+    ablate: int = 0,
 ) -> np.ndarray:
-    """Run the merge loop on the HBM kernel; returns [num_merges, 3] ids."""
+    """Run the merge loop on the HBM kernel; returns [num_merges, 3] ids.
+
+    ``resume`` is a ``(merges_ids, steps_done)`` checkpoint (see
+    yabpe_tpu.train.checkpoint): the first ``steps_done`` recorded merges
+    are REPLAYED through the kernel (selection skipped, all state updates
+    identical), rebuilding the exact device state before live training
+    continues — the same deterministic-restart contract as the XLA
+    engines (SURVEY.md §5.3/5.4).
+    """
     import jax
     import jax.numpy as jnp
 
@@ -153,22 +163,39 @@ def run_hbm_merge_loop(
     counts = build_counts(corner)
     row_max_np = np.zeros((1, V), dtype=np.int32)
     row_max_np[0, :b0] = corner_np.max(axis=1)
+
+    replay_until = 0
+    merges_buf = np.full((M, 128), -1, np.int32)
+    if resume is not None:
+        merges_ids, steps_done = resume
+        replay_until = max(0, min(int(steps_done), num_merges))
+        merges_buf[:replay_until, :3] = merges_ids[:replay_until]
+
     state = (
         jnp.asarray(packed),
         jnp.asarray(row_max_np),
         jnp.asarray(np.ascontiguousarray(token_bytes.T)),  # [L, V]
         jnp.asarray(token_len.reshape(1, V)),
         jnp.asarray(lex_rank.reshape(1, V)),
-        jnp.full((M, 128), -1, jnp.int32),
+        jnp.asarray(merges_buf),
         jnp.asarray(
             np.array([[b0, 0, 0, 0, 0, 0, 0, 0]], dtype=np.int32)
         ),
         counts,
     )
 
+    # Read back only the [num_merges, 3] id triples: slicing on DEVICE
+    # keeps the per-chunk transfer at 12*num_merges bytes instead of the
+    # whole 512*M-byte record buffer (the remote link stalls per byte).
+    slice_ids = jax.jit(
+        lambda m: jax.lax.slice(m, (0, 0), (num_merges, 3))
+    )
+
     start = 0
     while start < num_merges:
-        cfg = jnp.asarray(np.array([[start, 0, 0, 0]], dtype=np.int32))
+        cfg = jnp.asarray(
+            np.array([[start, replay_until, 0, 0]], dtype=np.int32)
+        )
         state = hbm_merge_chunk(
             *state,
             cfg,
@@ -179,15 +206,16 @@ def run_hbm_merge_loop(
             chunk_size=chunk,
             min_frequency=min_frequency,
             interpret=interpret,
+            ablate=ablate,
         )
         start += chunk
         scal = np.asarray(state[6])
         if on_chunk is not None:
-            merges_now = np.asarray(state[5])[:num_merges, :3]
+            merges_now = np.asarray(slice_ids(state[5]))
             on_chunk(merges_now, min(start, num_merges))
         if scal[0, 1] != 0:  # stopped
             break
-    return np.asarray(state[5])[:num_merges, :3]
+    return np.asarray(slice_ids(state[5]))
 
 
 __all__ = [

@@ -309,7 +309,7 @@ class BBPETrainer:
                 run_hbm_merge_loop,
             )
 
-            _, saver = self._checkpoint_hooks()
+            resume, saver = self._checkpoint_hooks()
             try:
                 return run_hbm_merge_loop(
                     table,
@@ -322,6 +322,10 @@ class BBPETrainer:
                     # for long chunks.
                     chunk_size=max(cfg.merge_chunk_size, 2048),
                     on_chunk=saver,
+                    resume=resume,
+                    # A forced HBM run off-TPU (tests, CPU dry runs) uses
+                    # the Pallas interpreter — same kernel logic, no chip.
+                    interpret=effective_backend() != "tpu",
                 )
             except HbmKernelUnsupported as e:
                 _LOG.info(
@@ -414,8 +418,6 @@ class BBPETrainer:
                     "word table within VMEM)"
                 )
             return True
-        if cfg.checkpoint_dir:
-            return False  # resume replay is wired to the XLA state layout
         from yabpe_tpu.utils.jaxsetup import effective_backend
 
         return fits and effective_backend() == "tpu"

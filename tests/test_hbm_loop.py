@@ -198,6 +198,67 @@ def test_hbm_kernel_multislab_evictions_interpret():
     assert merges == want[:num]
 
 
+# ------------------------------------------------------- checkpoint/resume
+
+
+def test_hbm_kernel_resume_replay_interpret(small_corpus):
+    """Resume via in-kernel replay must reproduce the full run exactly,
+    including resume points that are not chunk-aligned."""
+    _, wt, base = small_corpus
+    kw = dict(
+        vocab_cap=300, num_merges=44, min_frequency=1, chunk_size=16,
+        interpret=True,
+    )
+    full = run_hbm_merge_loop(wt, base, **kw)
+    for steps_done in (16, 21, 44):
+        ck = np.full_like(full, -1)
+        ck[:steps_done] = full[:steps_done]
+        resumed = run_hbm_merge_loop(
+            wt, base, resume=(ck, steps_done), **kw
+        )
+        assert np.array_equal(resumed, full), f"diverged at {steps_done}"
+
+
+def test_hbm_checkpoint_resume_trainer(tmp_path):
+    """Kill-and-resume through the FORCED HBM engine produces the
+    identical model (checkpoint_dir no longer demotes the kernel)."""
+    from yabpe_tpu import BBPETrainer, BBPETrainerConfig
+    from yabpe_tpu.train import checkpoint as ckpt
+
+    f = tmp_path / "c.txt"
+    f.write_text(
+        "the cat sat on the mat. the bat and the rat ran. " * 40,
+        encoding="utf-8",
+    )
+    kw = dict(
+        vocab_size=300,
+        min_frequency=1,
+        max_workers=1,
+        special_tokens=[],
+        merge_chunk_size=16,
+        use_hbm_kernel=True,
+        use_native_loop=False,
+        use_fused_kernel=False,
+    )
+    full = BBPETrainer(BBPETrainerConfig(**kw)).train([f])
+
+    ckdir = tmp_path / "ck"
+    cfg = BBPETrainerConfig(
+        **kw, checkpoint_dir=str(ckdir), checkpoint_every_chunks=1
+    )
+    BBPETrainer(cfg).train([f])
+    loaded = ckpt.load_checkpoint(ckdir, cfg)
+    assert loaded is not None
+    merges_ids, _ = loaded
+    truncated = np.full_like(merges_ids, -1)
+    truncated[:20] = merges_ids[:20]
+    ckpt.save_checkpoint(ckdir, truncated, 20, cfg)
+
+    resumed = BBPETrainer(cfg).train([f])
+    assert resumed.merges == full.merges
+    assert resumed.vocab == full.vocab
+
+
 # -------------------------------------------------------------- routing
 
 
@@ -228,12 +289,13 @@ def test_hbm_routing_unit(monkeypatch, small_corpus):
     assert tr._should_use_hbm(wt, 4096)
     assert not tr._should_use_hbm(wt, 65536)  # past i16 vocab bound
 
+    # checkpointed runs stay on the HBM engine (resume = in-kernel replay)
     tr = BBPETrainer(
         BBPETrainerConfig(
             vocab_size=4096, min_frequency=1, checkpoint_dir="/tmp/x"
         )
     )
-    assert not tr._should_use_hbm(wt, 4096)
+    assert tr._should_use_hbm(wt, 4096)
 
     tr = BBPETrainer(
         BBPETrainerConfig(
