@@ -89,7 +89,7 @@ wt = WordTable.from_counter(counter_from_raw(*raw))
 t0 = time.perf_counter()
 merges = run_sharded_merge_loop(
     wt, base, vocab_cap={vocab}, num_merges={vocab} - len(base),
-    min_frequency=2, data_shards=2, chunk_size=128)
+    min_frequency=2, data_shards=2, chunk_size=128, spec_batch=16)
 t_merge = time.perf_counter() - t0
 digest = hashlib.sha256(np.ascontiguousarray(merges).tobytes()).hexdigest()
 print("RESULT", json.dumps({{"pid": pid, "ingest_union": t_ingest_union,

@@ -360,6 +360,7 @@ def run_sharded_merge_loop(
     chunk_size: int = 256,
     resume: tuple[np.ndarray, int] | None = None,
     on_chunk=None,
+    spec_batch: int = 0,
 ) -> np.ndarray:
     """Run the merge loop sharded over a (data[, vocab]) mesh.
 
@@ -370,6 +371,11 @@ def run_sharded_merge_loop(
     ``resume=(merges_ids, steps_done)`` replays a checkpoint before
     continuing; ``on_chunk(merges_ids, steps_done)`` fires after every
     chunk for checkpoint saving.
+
+    ``spec_batch > 1`` (1D meshes only) batches that many merges per
+    collective round via speculate/validate epochs (dist/speculative.py) —
+    the latency-tolerant mode for multi-host meshes where one collective
+    per merge would dominate wall clock. Results stay bit-identical.
     """
     if vocab_shards > 1:
         mesh = make_2d_mesh(data_shards, vocab_shards)
@@ -467,10 +473,85 @@ def run_sharded_merge_loop(
         donate_argnums=(0,),
     )
 
+    if spec_batch > 1 and vocab_shards == 1:
+        return _run_speculative(
+            state, specs, mesh, fn,
+            vocab_cap=vocab_cap,
+            num_merges=num_merges,
+            min_frequency=min_frequency,
+            chunk=chunk,
+            start_step=start_step,
+            spec_batch=spec_batch,
+            affected_cap=pick_affected_cap(rows_per_shard),
+            on_chunk=on_chunk,
+        )
+
     start = start_step
     while start < num_merges:
         state = fn(state, jnp.asarray(start, dtype=jnp.int32))
         start += chunk
+        if on_chunk is not None:
+            on_chunk(np.asarray(state.core.merges), min(start, num_merges))
+        if bool(state.core.stopped):
+            break
+    return np.asarray(state.core.merges)
+
+
+def _run_speculative(
+    state,
+    specs,
+    mesh,
+    single_chunk_fn,
+    *,
+    vocab_cap: int,
+    num_merges: int,
+    min_frequency: int,
+    chunk: int,
+    start_step: int,
+    spec_batch: int,
+    affected_cap: int,
+    on_chunk,
+) -> np.ndarray:
+    """Drive speculate/validate epochs; fall back to the tiered per-merge
+    body for any merge whose epoch made no progress (cap0 overflow)."""
+    from yabpe_tpu.dist.speculative import sharded_chunk_speculative
+
+    k = max(2, min(spec_batch, num_merges))
+    cap0 = affected_cap
+    cap = min(256, cap0)
+    spec_fn = jax.jit(
+        shard_map(
+            partial(
+                sharded_chunk_speculative,
+                vocab_cap=vocab_cap,
+                min_frequency=min_frequency,
+                num_merges=num_merges,
+                chunk_size=chunk,
+                spec_batch=k,
+                cap0=cap0,
+                cap=cap,
+            ),
+            mesh=mesh,
+            in_specs=(specs, P()),
+            out_specs=(specs, P()),
+            check_vma=False,
+        ),
+        donate_argnums=(0,),
+    )
+
+    start = start_step
+    while start < num_merges:
+        chunk_end = min(start + chunk, num_merges)
+        state, ptr = spec_fn(state, jnp.asarray(start, dtype=jnp.int32))
+        ptr = int(np.asarray(ptr))
+        if ptr < chunk_end and not bool(state.core.stopped):
+            # No-progress epoch: merge ``ptr``'s delta overflowed the
+            # fixed speculation capacity on some host (heavy early
+            # merges). Advance a chunk through the tiered per-merge body
+            # (which escalates capacities up to the full recount).
+            state = single_chunk_fn(state, jnp.asarray(ptr, jnp.int32))
+            ptr = min(ptr + chunk, num_merges)
+        start = ptr
         if on_chunk is not None:
             on_chunk(np.asarray(state.core.merges), min(start, num_merges))
         if bool(state.core.stopped):

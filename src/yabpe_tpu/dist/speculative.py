@@ -1,0 +1,272 @@
+"""Latency-tolerant multi-host merge loop: k merges per collective round.
+
+The plain data-sharded loop (dist/sharded.py) is lockstep-coupled by one
+``all_gather`` per merge, so cross-host wire latency multiplies by the
+merge count (measured: ~11 ms/collective over localhost gRPC = 22%
+end-to-end 2-host efficiency at vocab 1000). This module amortizes the
+round trips with SPECULATE -> EXCHANGE -> VALIDATE epochs:
+
+1. **Speculate (communication-free, replicated decisions).** Each epoch
+   freezes the replicated global count table G. All hosts deterministically
+   pick the same k candidate merges from the frozen view (re-selecting
+   with the chosen cell zeroed after each pick), apply them to their word
+   shards, and pack each merge's sparse count delta at a fixed capacity
+   (per-host overflow is flagged, never silently truncated into state).
+2. **Exchange (ONE all_gather per epoch).** The k packed deltas + overflow
+   flags ship in a single collective.
+3. **Validate (communication-free, replicated).** Replay selection against
+   the TRUE evolving table (frozen table + gathered deltas of accepted
+   merges): the longest prefix whose speculative picks equal the true
+   (count, lex) argmax — and whose deltas were overflow-free on every
+   host — commits; the suffix rolls back by replaying the accepted prefix
+   onto the epoch-start word shard.
+
+Merge 0 of an epoch always validates (its frozen view IS the true table),
+so every epoch commits >= 1 merge unless merge 0's delta overflowed the
+fixed capacity on some host — the driver then runs that one merge through
+the tiered per-merge body and resumes epochs. Results are bitwise
+identical to the single-device loop (asserted by tests/test_dist.py).
+
+Reference semantics preserved: selection order, tie-breaks, dedup and
+min-frequency stop of /root/reference/src/yet_another_bpe/trainer.py:
+216-302.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+from yabpe_tpu.kernels.merge_apply import apply_pair_merge
+from yabpe_tpu.train.bigvocab import BigState, lazy_select
+from yabpe_tpu.train.incremental import pack_merge_delta
+from yabpe_tpu.train.state import vocab_update
+
+
+def _spec_epoch(
+    state: BigState,
+    ptr: jax.Array,
+    *,
+    k: int,
+    vocab_cap: int,
+    min_frequency: int,
+    num_merges: int,
+    cap0: int,
+    cap: int,
+):
+    """One speculate/exchange/validate epoch; returns (state', p, ptr')."""
+    V = vocab_cap
+    W1 = state.core.words.shape[1] - 1  # adjacent-pair positions per row
+    L0 = 2 * W1 * cap0
+    LR = 2 * W1 * cap
+    oob = V * V
+    core0 = state.core
+    words0 = core0.words
+    freqs = core0.freqs
+    G = state.counts
+
+    # ------------------------------------------------ speculate (no comm)
+    def spec_one(j, core_s, words_s, gview, rmv, ok_chain, capj):
+        in_range = ptr + j < num_merges
+        left, right, cnt, rmv = lazy_select(
+            gview, rmv, core_s.lex_rank, V
+        )
+        frozen_stop = (cnt < max(min_frequency, 1)) | (cnt <= 0)
+        l = words_s[:, :-1]
+        r = words_s[:, 1:]
+        pre = in_range & ok_chain & ~frozen_stop
+        affected = (
+            jnp.any((l == left) & (r == right) & (l >= 0), axis=1) & pre
+        )
+        overflow = jnp.sum(affected.astype(jnp.int32)) > capj
+        do = pre & ~overflow
+        affected = affected & ~overflow
+        core_s, new_sym = vocab_update(
+            core_s, left, right, do, core_s.stopped,
+            jnp.minimum(ptr + j, num_merges - 1), V,
+        )
+        words_s, keys, w = pack_merge_delta(
+            words_s, freqs, affected, left, right, new_sym, capj, V
+        )
+        zidx = jnp.where(do, left * V + right, oob)
+        gview = gview.at[zidx].set(0, mode="drop")
+        return core_s, words_s, gview, rmv, do, left, right, new_sym, keys, w
+
+    A = jnp.zeros((k,), jnp.int32)
+    B = jnp.zeros((k,), jnp.int32)
+    C = jnp.zeros((k,), jnp.int32)
+
+    # merge 0 unrolled at the large capacity
+    core_s, words_s, gview, rmv, ok0, a0, b0, c0, keys0, w0 = spec_one(
+        jnp.int32(0), core0, words0, G, state.row_max, jnp.bool_(True),
+        cap0,
+    )
+    A = A.at[0].set(a0)
+    B = B.at[0].set(b0)
+    C = C.at[0].set(c0)
+    okf = jnp.zeros((k,), jnp.int32).at[0].set(ok0.astype(jnp.int32))
+    keys_r = jnp.full((max(k - 1, 1), LR), oob, jnp.int32)
+    w_r = jnp.zeros((max(k - 1, 1), LR), jnp.int32)
+
+    def spec_body(j, carry):
+        core_s, words_s, gview, rmv, ok_chain, A, B, C, okf, keys_r, w_r = (
+            carry
+        )
+        core_s, words_s, gview, rmv, do, left, right, new_sym, keys, w = (
+            spec_one(j, core_s, words_s, gview, rmv, ok_chain, cap)
+        )
+        A = A.at[j].set(left)
+        B = B.at[j].set(right)
+        C = C.at[j].set(new_sym)
+        okf = okf.at[j].set(do.astype(jnp.int32))
+        keys_r = keys_r.at[j - 1].set(keys)
+        w_r = w_r.at[j - 1].set(w)
+        return core_s, words_s, gview, rmv, do, A, B, C, okf, keys_r, w_r
+
+    if k > 1:
+        _, words_s, _, _, _, A, B, C, okf, keys_r, w_r = jax.lax.fori_loop(
+            1, k, spec_body,
+            (core_s, words_s, gview, rmv, ok0, A, B, C, okf, keys_r, w_r),
+        )
+
+    # ------------------------------------------- exchange (one collective)
+    payload = jnp.concatenate(
+        [okf, keys0, w0, keys_r.reshape(-1), w_r.reshape(-1)]
+    )
+    gathered = jax.lax.all_gather(payload, "data")  # [shards, T]
+
+    g_ok = gathered[:, :k]
+    g_keys0 = gathered[:, k : k + L0]
+    g_w0 = gathered[:, k + L0 : k + 2 * L0]
+    rest = gathered[:, k + 2 * L0 :]
+    nsh = gathered.shape[0]
+    g_keys_r = rest[:, : (k - 1) * LR].reshape(nsh, max(k - 1, 1), LR)
+    g_w_r = rest[:, (k - 1) * LR :].reshape(nsh, max(k - 1, 1), LR)
+
+    # ------------------------------------------------- validate (no comm)
+    def val_body(j, carry):
+        counts, rm, core_v, p, valid, stopped = carry
+        in_range = ptr + j < num_merges
+        a_t, b_t, cnt_t, rm = lazy_select(counts, rm, core_v.lex_rank, V)
+        true_stop = (cnt_t < max(min_frequency, 1)) | (cnt_t <= 0)
+        ok_all = jnp.min(jax.lax.dynamic_slice(g_ok, (0, j), (nsh, 1))) > 0
+        aj = A[j]
+        bj = B[j]
+        match = (
+            valid & in_range & ~true_stop & ok_all
+            & (a_t == aj) & (b_t == bj)
+        )
+        stopped = stopped | (valid & in_range & true_stop)
+        core_v, _ = vocab_update(
+            core_v, a_t, b_t, match, stopped,
+            jnp.minimum(ptr + j, num_merges - 1), V,
+        )
+
+        def delta(j):
+            is0 = j == 0
+            kj = jnp.where(
+                is0,
+                jnp.pad(g_keys0, ((0, 0), (0, max(L0, LR) - L0)))[
+                    :, : max(L0, LR)
+                ],
+                jnp.pad(
+                    jax.lax.dynamic_slice(
+                        g_keys_r,
+                        (0, jnp.maximum(j - 1, 0), 0),
+                        (nsh, 1, LR),
+                    ).reshape(nsh, LR),
+                    ((0, 0), (0, max(L0, LR) - LR)),
+                    constant_values=oob,
+                )[:, : max(L0, LR)],
+            )
+            wj = jnp.where(
+                is0,
+                jnp.pad(g_w0, ((0, 0), (0, max(L0, LR) - L0)))[
+                    :, : max(L0, LR)
+                ],
+                jnp.pad(
+                    jax.lax.dynamic_slice(
+                        g_w_r,
+                        (0, jnp.maximum(j - 1, 0), 0),
+                        (nsh, 1, LR),
+                    ).reshape(nsh, LR),
+                    ((0, 0), (0, max(L0, LR) - LR)),
+                )[:, : max(L0, LR)],
+            )
+            return kj.reshape(-1), wj.reshape(-1)
+
+        gkeys, gw = delta(j)
+        gkeys = jnp.where(match, gkeys, oob)
+        counts = counts.at[gkeys].add(gw, mode="drop")
+        safe = jnp.minimum(gkeys, oob - 1)
+        vals = jnp.where(gkeys < oob, counts[safe], -1)
+        rm = rm.at[safe // V].max(vals)
+        p = p + match.astype(jnp.int32)
+        return counts, rm, core_v, p, match, stopped
+
+    counts, rm, core_v, p, _, stopped = jax.lax.fori_loop(
+        0, k, val_body,
+        (
+            G, state.row_max, core0, jnp.int32(0), jnp.bool_(True),
+            jnp.bool_(False),
+        ),
+    )
+
+    # --------------------------------------------------------- commit
+    def replay(_):
+        def rbody(j, w):
+            return apply_pair_merge(w, A[j], B[j], C[j])
+
+        return jax.lax.fori_loop(0, p, rbody, words0)
+
+    words_final = jax.lax.cond(
+        p == jnp.int32(k), lambda _: words_s, replay, operand=None
+    )
+    core_v = core_v._replace(words=words_final, stopped=stopped)
+    return BigState(core=core_v, counts=counts, row_max=rm), p
+
+
+def sharded_chunk_speculative(
+    state: BigState,
+    chunk_start: jax.Array,
+    *,
+    vocab_cap: int,
+    min_frequency: int,
+    num_merges: int,
+    chunk_size: int,
+    spec_batch: int,
+    cap0: int,
+    cap: int,
+):
+    """Run speculative epochs until the chunk is covered or progress stalls.
+
+    Returns (state, ptr): ``ptr`` < chunk end with ``stopped`` unset means
+    an epoch made no progress (merge 0's delta overflowed ``cap0`` on some
+    host) — the caller must advance that single merge through the tiered
+    per-merge body and re-enter.
+    """
+    end = jnp.minimum(chunk_start + chunk_size, num_merges)
+
+    def cond(carry):
+        state, ptr, last_p = carry
+        return (ptr < end) & (last_p > 0) & ~state.core.stopped
+
+    def body(carry):
+        state, ptr, _ = carry
+        state, p = _spec_epoch(
+            state, ptr,
+            k=spec_batch, vocab_cap=vocab_cap,
+            min_frequency=min_frequency, num_merges=num_merges,
+            cap0=cap0, cap=cap,
+        )
+        return state, ptr + p, p
+
+    state, ptr, _ = jax.lax.while_loop(
+        cond, body, (state, chunk_start, jnp.int32(1))
+    )
+    return state, ptr
+
+
+__all__ = ["sharded_chunk_speculative"]

@@ -71,6 +71,12 @@ class BBPETrainerConfig:
             kernel's i16/word-width/VMEM limits). This is the on-chip
             engine for the 32k-vocab flagship; beyond its limits the XLA
             bigvocab path runs instead. Unavailable with data sharding.
+        spec_merges_per_round: batch this many merges per collective round
+            in the data-sharded loop via speculate/validate epochs
+            (dist/speculative.py) — the latency-tolerant mode for
+            multi-host meshes. 0 = auto (16 when running under
+            jax.distributed with >1 processes, off otherwise); 1 disables
+            explicitly. Bit-identical results either way.
     """
 
     vocab_size: int = 32000
@@ -95,6 +101,7 @@ class BBPETrainerConfig:
     use_fused_kernel: bool | None = None
     use_native_loop: bool | None = None
     use_hbm_kernel: bool | None = None
+    spec_merges_per_round: int = 0
 
 
 __all__ = ["BBPETrainerConfig"]

@@ -188,6 +188,9 @@ class BBPETrainer:
             from yabpe_tpu.dist.sharded import run_sharded_merge_loop
 
             resume, saver = self._checkpoint_hooks()
+            spec = cfg.spec_merges_per_round
+            if spec == 0 and self._multihost():
+                spec = 16  # auto: latency-tolerant epochs across hosts
             merges_ids = run_sharded_merge_loop(
                 table,
                 base,
@@ -199,6 +202,7 @@ class BBPETrainer:
                 chunk_size=cfg.merge_chunk_size,
                 resume=resume,
                 on_chunk=saver,
+                spec_batch=spec,
             )
         else:
             merges_ids = self._run_single_device(

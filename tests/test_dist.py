@@ -125,6 +125,47 @@ def test_vocab_shard_invariance(corpus_table, data_shards, vocab_shards):
     assert np.array_equal(single, sharded)
 
 
+@pytest.mark.parametrize("shards,spec", [(2, 4), (2, 16), (4, 8), (8, 8)])
+def test_speculative_shard_invariance(corpus_table, shards, spec):
+    """The latency-tolerant speculate/validate loop (k merges per
+    collective round, dist/speculative.py) must be bit-identical to the
+    single-device sequence — including rolled-back epochs and the
+    overflow fallback through the tiered per-merge body."""
+    wt, base = corpus_table
+    single = _single_device_merges(wt, base, 400, 400 - len(base))
+    sharded = run_sharded_merge_loop(
+        wt,
+        base,
+        vocab_cap=400,
+        num_merges=400 - len(base),
+        min_frequency=1,
+        data_shards=shards,
+        chunk_size=64,
+        spec_batch=spec,
+    )
+    assert np.array_equal(single, sharded)
+
+
+def test_speculative_early_stop():
+    """min_frequency stop must be honored mid-epoch (validation detects
+    the true stop even when speculation ran past it)."""
+    counter = Counter({b"ab": 4, b"cd": 2})
+    base = Vocab.base([])
+    wt = WordTable.from_counter(counter)
+    merges = run_sharded_merge_loop(
+        wt,
+        base,
+        vocab_cap=300,
+        num_merges=44,
+        min_frequency=3,
+        data_shards=4,
+        chunk_size=16,
+        spec_batch=8,
+    )
+    assert (merges[0] == [ord("a"), ord("b"), 256]).all()
+    assert (merges[1:] == -1).all()
+
+
 def test_sharded_checkpoint_resume(corpus_table, tmp_path):
     """Kill-and-resume through the data-sharded loop must reproduce the
     uninterrupted sharded (and single-device) merge sequence."""
