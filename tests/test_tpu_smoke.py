@@ -79,6 +79,7 @@ print(f"OK fused={t_fused:.1f}s hbm={t_hbm:.1f}s", flush=True)
 """
 
 
+@pytest.mark.chip
 def test_tpu_smoke_always_on():
     if os.environ.get("YABPE_TPU_SMOKE", "1") == "0":
         pytest.skip("disabled via YABPE_TPU_SMOKE=0")
