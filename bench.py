@@ -228,6 +228,45 @@ def bench_train_1g() -> None:
     _log(f"train_1g_vocab32k: {detail}")
 
 
+def bench_train_1g_hbm() -> None:
+    """Forced DEVICE path at the full 1 GB north star: the HBM kernel in
+    words-in-HBM streaming mode carries all 31,743 merges on-chip, and
+    the merge list must be byte-identical to the native engine's."""
+    import jax
+
+    from yabpe_tpu import BBPETrainer, BBPETrainerConfig
+
+    if jax.default_backend() == "cpu":
+        _log("train_1g_vocab32k_hbm: skipped (CPU backend)")
+        return
+    corpus = Path("/tmp/yabpe_bench_1G.txt")
+    size = corpus.stat().st_size
+    kw = dict(
+        vocab_size=32000,
+        min_frequency=2,
+        max_workers=8,
+        chunk_size_bytes=64 << 20,
+        special_tokens=["<|endoftext|>"],
+        align_chunks_to_newline=True,
+    )
+    ref = BBPETrainer(BBPETrainerConfig(**kw))
+    want = ref.train([corpus]).merges  # native engine (fast, page-warm)
+    tr = BBPETrainer(
+        BBPETrainerConfig(**kw, use_native_loop=False, use_hbm_kernel=True)
+    )
+    t0 = time.perf_counter()
+    model = tr.train([corpus])
+    dt = time.perf_counter() - t0
+    assert model.merges == want, "1 GB HBM-kernel merges diverge from native"
+    _log(
+        f"train_1g_vocab32k_hbm(pallas, TPU): {dt:.1f}s = "
+        f"{size / dt / 1e6:.1f} MB/s ({len(model.merges)} merges, "
+        f"byte-identical to native; ingest "
+        f"{tr.last_stats['ingest_seconds']:.1f}s, merge "
+        f"{tr.last_stats['merge_seconds']:.1f}s)"
+    )
+
+
 def bench_train_corpus_en_fused() -> None:
     """TPU path live check: corpus.en @500 forced through the fused Pallas
     VMEM kernel (warm; merges must match the golden engine)."""
@@ -322,6 +361,7 @@ def _worker() -> None:
         bench_train_corpus_en_fused()
         bench_train_100m_hbm()
         bench_train_1g()
+        bench_train_1g_hbm()
     except Exception as e:  # subsidiary benches must not kill the headline
         _log(f"subsidiary bench failed: {e!r}")
 

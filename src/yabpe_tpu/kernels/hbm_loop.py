@@ -56,10 +56,12 @@ Per merge step:
    bounds carry each row's pending positive mass, so they stay true
    upper bounds between evictions.
 
-Capacity limits: vocab_cap <= 32768 (i16 symbol ids), word width
-<= 64 bytes (changed-cell buffers), and max pair count < 2^23 (f32
-pending columns); the driver falls back to the XLA bigvocab engine
-beyond any of them.
+Capacity limits: vocab_cap <= 32768 (i16 symbol ids) and word width
+<= 64 bytes (changed-cell buffers); the driver falls back to the XLA
+bigvocab engine beyond either. Pair counts are exact up to 2^31: the
+pending-column accumulator stores each slot as TWO f32 limbs
+(value = hi * 4096 + lo), each kept under 2^24 by the flush's per-slot
+mag tracking.
 """
 
 from __future__ import annotations
@@ -87,6 +89,7 @@ _SEL_A = 3
 _SEL_B = 4
 _SEL_CNT = 5
 _SEL_STOP = 6
+_N_AFF = 7  # per-step scratch: affected-word count (streaming scan)
 
 
 def _shift_blocks(x: jax.Array, s_blocks: int, fill) -> jax.Array:
@@ -168,10 +171,13 @@ def _butterfly_compact_blocks(
     return vals
 
 
-def _compact_lanes(vals: jax.Array, keep: jax.Array, pad: int) -> jax.Array:
-    """Stable left-compaction of kept entries along plain lanes ([1, n])."""
-    r, n = vals.shape
-    vals = jnp.where(keep, vals, pad)
+def _compact_lanes_multi(
+    arrs: list[jax.Array], pads: list[int], keep: jax.Array
+) -> list[jax.Array]:
+    """Stable left-compaction of ALIGNED [1, n] arrays sharing one rank
+    computation (one butterfly routing pass moves every array together)."""
+    r, n = arrs[0].shape
+    arrs = [jnp.where(keep, v, p) for v, p in zip(arrs, pads)]
     dropped = _b2i(jnp.logical_not(keep))
     # inclusive lane cumsum, log-step
     rem = dropped
@@ -185,16 +191,22 @@ def _compact_lanes(vals: jax.Array, keep: jax.Array, pad: int) -> jax.Array:
     rem = jnp.where(keep, rem, 0)
     s = 1
     while s < n:
-        in_vals = jnp.concatenate(
-            [vals[:, s:], jnp.full((r, s), pad, vals.dtype)], axis=1
-        )
+        in_arrs = [
+            jnp.concatenate(
+                [v[:, s:], jnp.full((r, s), p, v.dtype)], axis=1
+            )
+            for v, p in zip(arrs, pads)
+        ]
         in_rem = jnp.concatenate([rem[:, s:], jnp.zeros((r, s), I32)], axis=1)
         incoming = (in_rem & s) != 0
         leaving = (rem & s) != 0
-        vals = jnp.where(incoming, in_vals, jnp.where(leaving, pad, vals))
+        arrs = [
+            jnp.where(incoming, iv, jnp.where(leaving, p, v))
+            for v, iv, p in zip(arrs, in_arrs, pads)
+        ]
         rem = jnp.where(incoming, in_rem - s, jnp.where(leaving, 0, rem))
         s *= 2
-    return vals
+    return arrs
 
 
 def _argmax_lanes(x: jax.Array) -> jax.Array:
@@ -235,21 +247,27 @@ def _hbm_loop_kernel(
     counts_ref,
     # scratch
     flags_ref,       # [NR, 128] i32 VMEM
+    rowany_ref,      # [NR, 1] i32 VMEM   per-packed-row any-flag summary
     gwin_ref,        # [8, WL] i16 VMEM   gather window
-    rowwin_ref,      # [8, V] i32 VMEM    count-row RMW window
+    rowwin_ref,      # [8, V] i32 VMEM    count-row window
+    rowwin2_ref,     # [8, V] i32 VMEM    second row window (RMW overlap)
     stage_l_ref,     # [A, 128] i32 VMEM  staged cell left syms (-1 empty)
     stage_r_ref,     # [A, 128] i32 VMEM
     stage_w_ref,     # [A, 128] i32 VMEM
     addvecs_ref,     # [4, V] i32 VMEM    line-bucket delta vectors
     mring_ref,       # [chunk_size, 128] i32 VMEM  merge-record ring
-    colacc_ref,      # [F, V] f32 VMEM    pending column deltas
+    colacc_ref,      # [2F, V] f32 VMEM   pending column deltas, 2 limbs:
+                     #   rows [0,F) = low 12 bits, rows [F,2F) = high part
+                     #   (value = hi*4096 + lo; exact for counts to 2^31)
     colids_v_ref,    # [F, 1] i32 VMEM    slot -> column id (-1 empty)
     colmeta_ref,     # [2F+4] i32 SMEM    ids, per-slot mags, nslots, maxmag
     colblk_ref,      # [V, 128] i32 VMEM  eviction block window
     pendrow_ref,     # [1, V] i32 VMEM    verify read-through overlay
     pendpos_ref,     # [1, V] i32 VMEM    per-row positive pending bound
     pendany_ref,     # [1, V] i32 VMEM    rows with ANY pending delta
-    sems,            # DMA semaphores (4,)
+    scan_a_ref,      # [SG, WL] i16 VMEM  streaming-scan buffer A
+    scan_b_ref,      # [SG, WL] i16 VMEM  streaming-scan buffer B
+    sems,            # DMA semaphores (6,)
     *,
     vocab_cap: int,
     word_width: int,
@@ -258,6 +276,7 @@ def _hbm_loop_kernel(
     chunk_size: int,
     min_frequency: int,
     copy_in: bool,
+    words_in_hbm: bool,
     ablate: int,
 ):
     V = vocab_cap
@@ -266,7 +285,7 @@ def _hbm_loop_kernel(
     NR = words_in.shape[0]
     WL = (W + 2) * 128
     A = stage_l_ref.shape[0]
-    F = colacc_ref.shape[0]
+    F = colacc_ref.shape[0] // 2
     NB = W - 1  # adjacent-pair position blocks
 
     # VMEM-windowed outputs do not inherit the aliased input's contents
@@ -277,8 +296,9 @@ def _hbm_loop_kernel(
     # ANY-space counts/merges refs have no windows: with real aliasing
     # both refs ARE the same HBM buffer, so only interpret mode (no
     # aliasing) must materialize those copies.
-    cpw = pltpu.make_async_copy(words_in, words_ref, sems.at[0])
-    cpw.start()
+    if not words_in_hbm:
+        cpw = pltpu.make_async_copy(words_in, words_ref, sems.at[0])
+        cpw.start()
     cpt = pltpu.make_async_copy(token_bytes_in, token_bytes_ref, sems.at[1])
     cpt.start()
     row_max_ref[...] = row_max_in[...]
@@ -286,7 +306,8 @@ def _hbm_loop_kernel(
     lex_rank_ref[...] = lex_rank_in[...]
     for k in range(4):
         scalars_ref[0, k] = scalars_in[0, k]
-    cpw.wait()
+    if not words_in_hbm:
+        cpw.wait()
     cpt.wait()
     if copy_in:
         cpk = pltpu.make_async_copy(counts_in, counts_ref, sems.at[0])
@@ -295,6 +316,12 @@ def _hbm_loop_kernel(
         cpm = pltpu.make_async_copy(merges_in, merges_ref, sems.at[0])
         cpm.start()
         cpm.wait()
+        if words_in_hbm:
+            # ANY-space words only need materializing in interpret mode
+            # (real aliasing makes input and output the same HBM buffer).
+            cpw = pltpu.make_async_copy(words_in, words_ref, sems.at[0])
+            cpw.start()
+            cpw.wait()
 
     iota_v = jax.lax.broadcasted_iota(I32, (1, V), 1)
     iota_l = jax.lax.broadcasted_iota(I32, (1, L), 1)
@@ -308,6 +335,8 @@ def _hbm_loop_kernel(
     replay_until = cfg_ref[0, 1]
 
     def row_window_read(rid, buf_ref, sem):
+        # HBM memrefs are (8, 128)-tiled: slices must be 8-row aligned,
+        # so a single row always moves as its aligned 8-row window.
         base = (rid // 8) * 8
         cp = pltpu.make_async_copy(
             counts_ref.at[pl.ds(base, 8), :], buf_ref, sem
@@ -338,7 +367,7 @@ def _hbm_loop_kernel(
     for _sb in range(V // _slab_size(V)):
         _lo = _sb * _slab_size(V)
         colacc_ref[:, pl.ds(_lo, _slab_size(V))] = jnp.zeros(
-            (F, _slab_size(V)), F32
+            (2 * F, _slab_size(V)), F32
         )
     colids_v_ref[...] = jnp.full((F, 1), -1, I32)
 
@@ -372,10 +401,10 @@ def _hbm_loop_kernel(
 
                 @pl.when((colmeta_ref[2 * F] > 0) & has_pend)
                 def _():
-                    # slabbed over V so no [F, V]-sized value stays live
-                    # (whole-array reads spill ~16 MB of registers)
+                    # slabbed over V so no [2F, V]-sized value stays live
+                    # (whole-array reads spill ~32 MB of registers)
                     sl = _slab_size(V)
-                    pend = jnp.zeros((F, 1), F32)
+                    pend = jnp.zeros((2 * F, 1), F32)
                     for sb in range(V // sl):
                         lo = sb * sl
                         io = jax.lax.broadcasted_iota(
@@ -390,16 +419,23 @@ def _hbm_loop_kernel(
                             axis=1,
                             keepdims=True,
                         )  # exact: a single lane is picked
+                    # recombine the limbs per slot in i32 (exact: each
+                    # limb sum is an integer < 2^24 in f32, and the true
+                    # value fits i32)
+                    pend_i = (
+                        pend[0:F, :].astype(I32)
+                        + pend[F : 2 * F, :].astype(I32) * 4096
+                    )
                     for sb in range(V // sl):
                         lo = sb * sl
                         io = jax.lax.broadcasted_iota(
                             I32, (1, sl), 1
                         ) + lo
                         pendrow_ref[:, pl.ds(lo, sl)] = jnp.sum(
-                            jnp.where(colids_v_ref[...] == io, pend, 0.0),
+                            jnp.where(colids_v_ref[...] == io, pend_i, 0),
                             axis=0,
                             keepdims=True,
-                        ).astype(I32)
+                        )
 
             @pl.when(is_replay)
             def _replay_select():
@@ -562,27 +598,93 @@ def _hbm_loop_kernel(
                 # Compares are in i32: i16-vs-broadcast compares trip an
                 # i1 relayout bug in Mosaic.
                 if not (ablate & 1):
-                    flag = jnp.zeros((NR, 128), I32)
-                    for k in range(NB):
-                        mk = (
-                            words_ref[
-                                :, k * 128 : (k + 1) * 128
-                            ].astype(I32)
-                            == a
-                        ) & (
-                            words_ref[
-                                :, (k + 1) * 128 : (k + 2) * 128
-                            ].astype(I32)
-                            == b
+                    def flag_blocks(win, rows):
+                        flag = jnp.zeros((rows, 128), I32)
+                        for k in range(NB):
+                            mk = (
+                                win[:, k * 128 : (k + 1) * 128].astype(I32)
+                                == a
+                            ) & (
+                                win[
+                                    :, (k + 1) * 128 : (k + 2) * 128
+                                ].astype(I32)
+                                == b
+                            )
+                            flag = flag | _b2i(mk)
+                        return flag
+
+                    if not words_in_hbm:
+                        flag = flag_blocks(words_ref, NR)
+                        flags_ref[...] = flag
+                        rowany_ref[...] = jnp.max(
+                            flag, axis=1, keepdims=True
                         )
-                        flag = flag | _b2i(mk)
-                    flags_ref[...] = flag
+                        n_aff = jnp.sum(flag)
+                    else:
+                        # The word table lives in HBM: stream it through
+                        # two [SG, WL] VMEM buffers, scanning group g
+                        # while group g+1's DMA is in flight. n_aff
+                        # accumulates through an SMEM scalar (values
+                        # cannot escape pl.when regions).
+                        SG = scan_a_ref.shape[0]
+                        NG = NR // SG
+
+                        def grp_copy(g, buf_ref, sem):
+                            return pltpu.make_async_copy(
+                                words_ref.at[pl.ds(g * SG, SG), :],
+                                buf_ref,
+                                sem,
+                            )
+
+                        def scan_grp(g, buf_ref):
+                            flag = flag_blocks(buf_ref, SG)
+                            flags_ref[pl.ds(g * SG, SG), :] = flag
+                            rowany_ref[pl.ds(g * SG, SG), :] = jnp.max(
+                                flag, axis=1, keepdims=True
+                            )
+                            scalars_ref[0, _N_AFF] = (
+                                scalars_ref[0, _N_AFF] + jnp.sum(flag)
+                            )
+
+                        scalars_ref[0, _N_AFF] = 0
+                        grp_copy(0, scan_a_ref, sems.at[0]).start()
+
+                        def sbody(g, _):
+                            even = (g % 2) == 0
+                            more = g + 1 < NG
+
+                            @pl.when(more & even)
+                            def _():
+                                grp_copy(
+                                    g + 1, scan_b_ref, sems.at[5]
+                                ).start()
+
+                            @pl.when(more & jnp.logical_not(even))
+                            def _():
+                                grp_copy(
+                                    g + 1, scan_a_ref, sems.at[0]
+                                ).start()
+
+                            @pl.when(even)
+                            def _():
+                                grp_copy(g, scan_a_ref, sems.at[0]).wait()
+                                scan_grp(g, scan_a_ref)
+
+                            @pl.when(jnp.logical_not(even))
+                            def _():
+                                grp_copy(g, scan_b_ref, sems.at[5]).wait()
+                                scan_grp(g, scan_b_ref)
+
+                            return 0
+
+                        jax.lax.fori_loop(0, NG, sbody, 0)
+                        n_aff = scalars_ref[0, _N_AFF]
 
                     if not (ablate & 4):
                         _process_affected(
-                            a, b, c, best_count,
-                            words_ref, flags_ref, counts_ref, row_max_ref,
-                            gwin_ref, rowwin_ref,
+                            a, b, c, best_count, n_aff,
+                            words_ref, flags_ref, rowany_ref, counts_ref,
+                            row_max_ref, gwin_ref, rowwin_ref, rowwin2_ref,
                             stage_l_ref, stage_r_ref, stage_w_ref,
                             addvecs_ref, colacc_ref, colids_v_ref,
                             colmeta_ref, colblk_ref, pendpos_ref,
@@ -612,9 +714,9 @@ def _hbm_loop_kernel(
 
 
 def _process_affected(
-    a, b, c, best_count,
-    words_ref, flags_ref, counts_ref, row_max_ref,
-    gwin_ref, rowwin_ref,
+    a, b, c, best_count, n_aff,
+    words_ref, flags_ref, rowany_ref, counts_ref, row_max_ref,
+    gwin_ref, rowwin_ref, rowwin2_ref,
     stage_l_ref, stage_r_ref, stage_w_ref,
     addvecs_ref, colacc_ref, colids_v_ref, colmeta_ref, colblk_ref,
     pendpos_ref, pendany_ref, sems,
@@ -637,51 +739,38 @@ def _process_affected(
     machinery.
     """
     NB = W - 1
-    flat2 = (
-        jax.lax.broadcasted_iota(I32, (NR, 128), 0) * 128
-        + jax.lax.broadcasted_iota(I32, (NR, 128), 1)
-    )
-    n_aff = jnp.sum(flags_ref[...])
-    # A visit processes at most TAKE_CAP flagged words so a window row can
-    # never emit more cells than MAX_SLICES 128-cell stage slices hold
-    # (a word's changed window emits <= 2*(W+1) cells); the window is
-    # simply revisited for any remaining flagged words. Typical windows
-    # hold far fewer flagged words than the cap, so one visit suffices.
-    MAX_SLICES = min(5, (2 * NB * 128 + 127) // 128)
-    TAKE_CAP = max(1, (MAX_SLICES * 128) // (2 * W + 4))
+    iota_nr = jax.lax.broadcasted_iota(I32, (NR, 1), 0)
+    # A visit takes at most R_CAP flagged words PER WINDOW ROW, so a row
+    # can never emit more cells than MAX_SLICES 128-cell stage slices
+    # hold (a word's changed window emits <= 2*(W+1) cells); taken words'
+    # flags are cleared and the window is simply revisited for any
+    # remainder. The per-ROW cap (vs a per-window one) lets dense early
+    # steps process 8*R_CAP words per visit instead of a worst-case 4.
+    MAX_SLICES = min(8, (2 * NB * 128 + 127) // 128)
+    R_CAP = max(1, (MAX_SLICES * 128) // (2 * W + 4))
 
-    def outer_cond(carry):
-        processed, _ = carry
+    def outer_cond(processed):
         return processed < n_aff
 
-    def outer_body(carry):
-        processed, j_prev0 = carry
+    def outer_body(processed):
         stage_l_ref[...] = jnp.full((A, 128), -1, I32)
         stage_r_ref[...] = jnp.full((A, 128), -1, I32)
         stage_w_ref[...] = jnp.zeros((A, 128), I32)
 
         def fill_cond(carry):
-            k, done, _ = carry
+            k, done = carry
             # leave room for one window's worst-case slice burst
             return (k + 8 * MAX_SLICES <= A) & (done < n_aff)
 
         def fill_body(carry):
-            k, done, j_prev = carry
-            # next unprocessed flagged word -> its whole window
-            flags = flags_ref[...]
-            j = jnp.min(
-                jnp.where((flags > 0) & (flat2 > j_prev), flat2, BIG)
-            )
-            base8 = ((j // 128) // 8) * 8
+            k, done = carry
+            # next window with flagged words, found through the [NR, 1]
+            # per-row summary (a 256x smaller seek than the flag map)
+            jr = jnp.min(jnp.where(rowany_ref[...] > 0, iota_nr, BIG))
+            base8 = (jr // 8) * 8
             wf = flags_ref[pl.ds(base8, 8), :]  # [8, 128]
-            flatw = (
-                jax.lax.broadcasted_iota(I32, (8, 128), 0) * 128
-                + jax.lax.broadcasted_iota(I32, (8, 128), 1)
-                + base8 * 128
-            )
-            pend = (wf > 0) & (flatw > j_prev)
-            # flat rank of each pending word (row-major): lane cumsum
-            # within rows + exclusive row-offset cumsum
+            pend = wf > 0
+            # inclusive per-row rank: lane cumsum within each window row
             lc = _b2i(pend)
             sft = 1
             while sft < 128:
@@ -689,19 +778,15 @@ def _process_affected(
                     [jnp.zeros((8, sft), I32), lc[:, : 128 - sft]], axis=1
                 )
                 sft *= 2
-            rowtot = lc[:, 127:128]  # [8, 1]
-            rowoff = jnp.zeros((8, 1), I32)
-            run = jnp.int32(0)
-            iota_r8 = jax.lax.broadcasted_iota(I32, (8, 1), 0)
-            for rr in range(8):
-                rowoff = jnp.where(iota_r8 == rr, run, rowoff)
-                run = run + jnp.sum(
-                    jnp.where(iota_r8 == rr, rowtot, 0)
-                )
-            rank = lc + rowoff  # inclusive flat rank among pending
-            take = pend & (rank <= TAKE_CAP)
+            take = pend & (lc <= R_CAP)
             nwin = jnp.sum(_b2i(take))
-            j_next_prev = jnp.max(jnp.where(take, flatw, -1))
+            # processed words drop out of the flag map (the seek above
+            # finds remaining words of this window, or the next window)
+            wf_left = jnp.where(take, 0, wf)
+            flags_ref[pl.ds(base8, 8), :] = wf_left
+            rowany_ref[pl.ds(base8, 8), :] = jnp.max(
+                wf_left, axis=1, keepdims=True
+            )
             fmask_take = take
 
             cp = pltpu.make_async_copy(
@@ -787,8 +872,7 @@ def _process_affected(
                 jnp.concatenate([-f_nb, f_nb], axis=1),
                 0,
             )
-            cpk = _compact_lanes(packed, cv, -1)
-            cwc = _compact_lanes(cw, cv, 0)
+            cpk, cwc = _compact_lanes_multi([packed, cw], [-1, 0], cv)
             ccount = jnp.sum(_b2i(cv), axis=1, keepdims=True)  # [8, 1]
             cmax = jnp.max(ccount)
 
@@ -827,25 +911,23 @@ def _process_affected(
                 used = used + jnp.where(sl_needed, 8, 0)
 
             cpo.wait()
-            return (k + used, done + nwin, j_next_prev)
+            return (k + used, done + nwin)
 
-        _, done, j_last = jax.lax.while_loop(
-            fill_cond, fill_body, (jnp.int32(0), processed, j_prev0)
+        k_used, done = jax.lax.while_loop(
+            fill_cond, fill_body, (jnp.int32(0), processed)
         )
         if not skip_flush:
             _flush_stage(
                 a, b, c, best_count,
-                counts_ref, row_max_ref, rowwin_ref,
+                counts_ref, row_max_ref, rowwin_ref, rowwin2_ref,
                 stage_l_ref, stage_r_ref, stage_w_ref,
                 addvecs_ref, colacc_ref, colids_v_ref, colmeta_ref,
-                colblk_ref, pendpos_ref, pendany_ref, sems,
+                colblk_ref, pendpos_ref, pendany_ref, sems, k_used,
                 V=V, A=A, F=F, iota_v=iota_v,
             )
-        return (done, j_last)
+        return done
 
-    jax.lax.while_loop(
-        outer_cond, outer_body, (jnp.int32(0), jnp.int32(-1))
-    )
+    jax.lax.while_loop(outer_cond, outer_body, jnp.int32(0))
 
 
 def _slab_size(V: int) -> int:
@@ -857,10 +939,10 @@ def _slab_size(V: int) -> int:
 
 def _flush_stage(
     a, b, c, best_count,
-    counts_ref, row_max_ref, rowwin_ref,
+    counts_ref, row_max_ref, rowwin_ref, rowwin2_ref,
     stage_l_ref, stage_r_ref, stage_w_ref,
     addvecs_ref, colacc_ref, colids_v_ref, colmeta_ref, colblk_ref,
-    pendpos_ref, pendany_ref, sems,
+    pendpos_ref, pendany_ref, sems, used,
     *,
     V: int, A: int, F: int, iota_v,
 ):
@@ -880,9 +962,14 @@ def _flush_stage(
     _SLAB = _slab_size(V)
     # evict-all before this flush could overflow slots or f32 exactness
     # (per-slot magnitudes; the running max makes the guard one compare)
+    # Per-slot "mag" counts both the number of accumulates into the slot
+    # (each adds >= 1) and a bound on the hi limb's total magnitude (each
+    # accumulate adds <= (best_count >> 12) + 1). mag < 4096 keeps the lo
+    # limb exact (< 4096 accumulates of values < 4096 stays under 2^24)
+    # and the hi limb trivially so.
     @pl.when(
         (colmeta_ref[2 * F] >= F - 2)
-        | (colmeta_ref[2 * F + 1] + best_count > (1 << 23) + (1 << 22))
+        | (colmeta_ref[2 * F + 1] + (best_count >> 12) + 1 > 4095)
     )
     def _():
         _evict_columns(
@@ -890,26 +977,39 @@ def _flush_stage(
             colblk_ref, pendpos_ref, pendany_ref, sems, V=V, F=F,
         )
 
-    CAP = A * 128
-    lg = stage_l_ref[...].reshape(1, CAP)
-    rg = stage_r_ref[...].reshape(1, CAP)
-    wg = stage_w_ref[...].reshape(1, CAP)
-    valid = (lg >= 0) & (wg != 0)
-    packed = jnp.where(valid, lg * 32768 + rg, -1)
-    cpk = _compact_lanes(packed, valid, -1)
-    cwc = _compact_lanes(wg, valid, 0)
-    n_cells = jnp.sum(_b2i(valid))
+    # Compact (l, r, w) together with ONE shared rank computation, over a
+    # tier sized to the rows actually staged: the typical 1-visit step
+    # compacts 1k lanes instead of A*128 (rows past ``used`` hold only the
+    # -1/0 reset pattern, so both tiers produce identical results).
+    def compact_tier(T: int):
+        cap_t = T * 128
+        lg = stage_l_ref[0:T, :].reshape(1, cap_t)
+        rg = stage_r_ref[0:T, :].reshape(1, cap_t)
+        wg = stage_w_ref[0:T, :].reshape(1, cap_t)
+        valid = (lg >= 0) & (wg != 0)
+        lgc, rgc, cwc = _compact_lanes_multi(
+            [lg, rg, wg], [-1, -1, 0], valid
+        )
+        stage_l_ref[0:T, :] = lgc.reshape(T, 128)
+        stage_r_ref[0:T, :] = rgc.reshape(T, 128)
+        stage_w_ref[0:T, :] = cwc.reshape(T, 128)
 
-    lgc = jnp.where(cpk >= 0, cpk // 32768, -1)
-    rgc = jnp.where(cpk >= 0, cpk - (cpk // 32768) * 32768, -1)
-    stage_l_ref[...] = lgc.reshape(A, 128)
-    stage_r_ref[...] = rgc.reshape(A, 128)
-    stage_w_ref[...] = cwc.reshape(A, 128)
+    @pl.when(used <= 8)
+    def _():
+        compact_tier(8)
+
+    @pl.when(used > 8)
+    def _():
+        compact_tier(A)
+
+    lg_all = stage_l_ref[...]
+    wg_all = stage_w_ref[...]
+    n_cells = jnp.sum(_b2i(wg_all != 0))
     n_chunks = (n_cells + 127) // 128
 
     # d_ab: the lone off-line cell (one masked reduction over all cells)
-    is_ab_all = (lgc == a) & (rgc == b)
-    d_ab = jnp.sum(jnp.where(is_ab_all, cwc, 0))
+    is_ab_all = (lg_all == a) & (stage_r_ref[...] == b)
+    d_ab = jnp.sum(jnp.where(is_ab_all, wg_all, 0))
 
     # dvec rows: 0 = col a (keyed by l), 1 = col c (keyed by l),
     #            2 = row b (keyed by r), 3 = row c (keyed by r)
@@ -935,65 +1035,102 @@ def _flush_stage(
         wr = jnp.concatenate(
             [jnp.where(m_rb, w_ch, 0), jnp.where(m_rc, w_ch, 0)], axis=0
         )  # [2, 128] keyed by r
+        key_l = jnp.where(m_ca | m_cc, l_ch, V)  # [1, 128]
+        key_r = jnp.where(m_rb | m_rc, r_ch, V)
 
         hi = jax.lax.Precision.HIGHEST
 
-        def hist(wmat, key_sub, out_row):
+        def hist(wmat, key_row, out_row):
+            # The 3 12-bit weight limbs stack into ONE [6, slab] matmul
+            # per slab (exact: each limb-row sums <= 128 values < 2^13 in
+            # f32, recombined in i32); slabs no key lands in are skipped
+            # entirely — a typical step's cells touch 1-2 of the V/2048
+            # slabs, so this drops ~90% of the per-flush MXU dispatches.
             h2 = wmat >> 24
             rem12 = wmat - (h2 << 24)
             h1 = rem12 >> 12
             h0 = rem12 - (h1 << 12)
+            stacked = jnp.concatenate([h2, h1, h0], axis=0).astype(F32)
+            key_sub = key_row.reshape(128, 1)
+            # One scalar bitmask of present slabs (bit sb set iff any
+            # live key falls in slab sb): each slab's FIRST cell (by
+            # lane) contributes 1 << slab exactly once, so the sum is an
+            # exact bitwise OR. Requires V // _SLAB <= 31 (V <= 63488 at
+            # slab 2048); 16 at the current 32k cap.
+            kdiv_c = key_sub // _SLAB                # [128, 1]
+            kdiv_r = key_row // _SLAB                # [1, 128]
+            same = kdiv_c == kdiv_r                  # [128, 128]
+            lane_r = jax.lax.broadcasted_iota(I32, (1, 128), 1)
+            mnl = jnp.min(
+                jnp.where(same, lane_r, 128), axis=1, keepdims=True
+            )                                        # [128, 1]
+            lane_c = jax.lax.broadcasted_iota(I32, (128, 1), 0)
+            first = (mnl == lane_c) & (key_sub < V)
+            smask = jnp.sum(
+                jnp.where(first, 1 << jnp.minimum(kdiv_c, 30), 0)
+            )
             for sb in range(V // _SLAB):
                 base = sb * _SLAB
-                oh = (
-                    key_sub
-                    == jax.lax.broadcasted_iota(I32, (128, _SLAB), 1)
-                    + base
-                ).astype(F32)
-                d = (
-                    jax.lax.dot_general(
-                        h2.astype(F32), oh,
-                        dimension_numbers=(((1,), (0,)), ((), ())),
-                        preferred_element_type=F32, precision=hi,
-                    ).astype(I32) * (1 << 24)
-                    + jax.lax.dot_general(
-                        h1.astype(F32), oh,
-                        dimension_numbers=(((1,), (0,)), ((), ())),
-                        preferred_element_type=F32, precision=hi,
-                    ).astype(I32) * (1 << 12)
-                    + jax.lax.dot_general(
-                        h0.astype(F32), oh,
-                        dimension_numbers=(((1,), (0,)), ((), ())),
-                        preferred_element_type=F32, precision=hi,
-                    ).astype(I32)
-                )
-                addvecs_ref[out_row : out_row + 2, pl.ds(base, _SLAB)] = (
-                    addvecs_ref[out_row : out_row + 2, pl.ds(base, _SLAB)]
-                    + d
-                )
 
-        hist(wl, jnp.where(live, l_ch, V).reshape(128, 1), 0)
-        hist(wr, jnp.where(live, r_ch, V).reshape(128, 1), 2)
+                @pl.when(((smask >> sb) & 1) != 0)
+                def _(base=base):
+                    oh = (
+                        key_sub
+                        == jax.lax.broadcasted_iota(I32, (128, _SLAB), 1)
+                        + base
+                    ).astype(F32)
+                    d6 = jax.lax.dot_general(
+                        stacked, oh,
+                        dimension_numbers=(((1,), (0,)), ((), ())),
+                        preferred_element_type=F32, precision=hi,
+                    )  # [6, _SLAB]
+                    d = (
+                        d6[0:2, :].astype(I32) * (1 << 24)
+                        + d6[2:4, :].astype(I32) * (1 << 12)
+                        + d6[4:6, :].astype(I32)
+                    )
+                    addvecs_ref[
+                        out_row : out_row + 2, pl.ds(base, _SLAB)
+                    ] = (
+                        addvecs_ref[
+                            out_row : out_row + 2, pl.ds(base, _SLAB)
+                        ]
+                        + d
+                    )
+
+        @pl.when(jnp.min(key_l) < V)
+        def _():
+            hist(wl, key_l, 0)
+
+        @pl.when(jnp.min(key_r) < V)
+        def _():
+            hist(wr, key_r, 2)
+
         return 0
 
     jax.lax.fori_loop(0, n_chunks, chunk_body, 0)
 
     # ---- rows b, c and the (a, b) cell: window RMWs, exact row_max ----
-    def row_rmw(x, addvec):
-        base = (x // 8) * 8
-        cp = pltpu.make_async_copy(
-            counts_ref.at[pl.ds(base, 8), :], rowwin_ref, sems.at[2]
+    # HBM slices must be 8-row aligned, so each row moves as its aligned
+    # [8, V] window. b != c always (c's byte string strictly contains
+    # b's): when they share a window ONE fused RMW handles both rows;
+    # otherwise the two round-trips overlap on separate buffers and
+    # semaphores. Zero-delta rows skip their round-trip entirely
+    # (row_max stays a valid upper bound untouched).
+    def rmw_read(base, buf_ref, sem):
+        return pltpu.make_async_copy(
+            counts_ref.at[pl.ds(base, 8), :], buf_ref, sem
         )
-        cp.start()
-        cp.wait()
+
+    def rmw_write(base, buf_ref, sem):
+        return pltpu.make_async_copy(
+            buf_ref, counts_ref.at[pl.ds(base, 8), :], sem
+        )
+
+    def rmw_apply(x, base, buf_ref, addvec):
         sub = x - base
-        row = rowwin_ref[pl.ds(sub, 1), :] + addvec
-        rowwin_ref[pl.ds(sub, 1), :] = row
-        cpo = pltpu.make_async_copy(
-            rowwin_ref, counts_ref.at[pl.ds(base, 8), :], sems.at[2]
-        )
-        cpo.start()
-        cpo.wait()
+        row = buf_ref[pl.ds(sub, 1), :] + addvec
+        buf_ref[pl.ds(sub, 1), :] = row
         # The bound must cover this row's PENDING positive column deltas
         # too (the table row alone under-bounds the true max).
         bound = jnp.max(row) + _extract_lane(pendpos_ref[...], x)
@@ -1001,12 +1138,67 @@ def _flush_stage(
             iota_v == x, bound, row_max_ref[...]
         )
 
-    row_rmw(b, addvecs_ref[2:3, :])
-    row_rmw(c, addvecs_ref[3:4, :])
+    nzb = jnp.max(jnp.abs(addvecs_ref[2:3, :])) > 0
+    nzc = jnp.max(jnp.abs(addvecs_ref[3:4, :])) > 0
+    base_b = (b // 8) * 8
+    base_c = (c // 8) * 8
+    fused = nzb & nzc & (base_b == base_c)
+    sep_b = nzb & jnp.logical_not(fused)
+    sep_c = nzc & jnp.logical_not(fused)
+    cp_rb = rmw_read(base_b, rowwin_ref, sems.at[2])
+    cp_rc = rmw_read(base_c, rowwin2_ref, sems.at[4])
+    cp_wb = rmw_write(base_b, rowwin_ref, sems.at[2])
+    cp_wc = rmw_write(base_c, rowwin2_ref, sems.at[4])
 
+    @pl.when(fused)
+    def _():
+        cp_rb.start()
+        cp_rb.wait()
+        rmw_apply(b, base_b, rowwin_ref, addvecs_ref[2:3, :])
+        rmw_apply(c, base_b, rowwin_ref, addvecs_ref[3:4, :])
+        cp_wb.start()
+        cp_wb.wait()
+
+    @pl.when(sep_b)
+    def _():
+        cp_rb.start()
+
+    @pl.when(sep_c)
+    def _():
+        cp_rc.start()
+
+    @pl.when(sep_b)
+    def _():
+        cp_rb.wait()
+        rmw_apply(b, base_b, rowwin_ref, addvecs_ref[2:3, :])
+        cp_wb.start()
+
+    @pl.when(sep_c)
+    def _():
+        cp_rc.wait()
+        rmw_apply(c, base_c, rowwin2_ref, addvecs_ref[3:4, :])
+        cp_wc.start()
+
+    @pl.when(sep_b)
+    def _():
+        cp_wb.wait()
+
+    @pl.when(sep_c)
+    def _():
+        cp_wc.wait()
+
+    # Row a (the (a, b) cell) may share a window with row b or c, so it
+    # runs strictly after both write-backs completed.
     @pl.when(d_ab != 0)
     def _():
-        row_rmw(a, jnp.where(iota_v == b, d_ab, 0))
+        base_a = (a // 8) * 8
+        cp_ra = rmw_read(base_a, rowwin_ref, sems.at[2])
+        cp_ra.start()
+        cp_ra.wait()
+        rmw_apply(a, base_a, rowwin_ref, jnp.where(iota_v == b, d_ab, 0))
+        cp_wa = rmw_write(base_a, rowwin_ref, sems.at[2])
+        cp_wa.start()
+        cp_wa.wait()
 
     # ---- columns a, c: pending-column accumulator ----
     def col_accumulate(col_id, dvec_row):
@@ -1023,9 +1215,10 @@ def _flush_stage(
             slot = jnp.where(have, slot_existing, nsl).astype(I32)
             colmeta_ref[2 * F] = nsl + jnp.where(have, 0, 1)
             colmeta_ref[slot] = col_id
-            # per-slot magnitude: |cell| grows by at most best_count
+            # per-slot mag: one accumulate raises |hi| by at most
+            # (best_count >> 12) + 1 and the accumulate count by 1
             oldmag = jnp.where(have, colmeta_ref[F + slot], 0)
-            newmag = oldmag + best_count
+            newmag = oldmag + (best_count >> 12) + 1
             colmeta_ref[F + slot] = newmag
             colmeta_ref[2 * F + 1] = jnp.maximum(
                 colmeta_ref[2 * F + 1], newmag
@@ -1035,8 +1228,16 @@ def _flush_stage(
                 col_id,
                 colids_v_ref[...],
             )
-            cur = colacc_ref[pl.ds(slot, 1), :]
-            colacc_ref[pl.ds(slot, 1), :] = cur + dvec.astype(F32)
+            # split into limbs: dvec = dhi * 4096 + dlo with dlo in
+            # [0, 4096) — each limb accumulates exactly in f32
+            dhi = dvec >> 12
+            dlo = dvec - (dhi << 12)
+            colacc_ref[pl.ds(slot, 1), :] = (
+                colacc_ref[pl.ds(slot, 1), :] + dlo.astype(F32)
+            )
+            colacc_ref[pl.ds(slot + F, 1), :] = (
+                colacc_ref[pl.ds(slot + F, 1), :] + dhi.astype(F32)
+            )
             pos = jnp.maximum(dvec, 0)
             row_max_ref[...] = row_max_ref[...] + pos
             pendpos_ref[...] = pendpos_ref[...] + pos
@@ -1093,18 +1294,29 @@ def _evict_columns(
                 cp.start()
                 cp.wait()
                 # slabbed over V (sublane dim of the addend): no [V, 128]
-                # or [F, V] value stays live
+                # or [F, V] value stays live; one matmul per limb, then
+                # recombined in i32 (each limb exact in f32 under the
+                # flush's mag tracking; the true value fits i32)
                 sl = _slab_size(V)
+                hi_p = jax.lax.Precision.HIGHEST
                 for sb in range(V // sl):
                     lo = sb * sl
-                    addend = jax.lax.dot_general(
-                        colacc_ref[:, pl.ds(lo, sl)], self_f32,
+                    add_lo = jax.lax.dot_general(
+                        colacc_ref[0:F, pl.ds(lo, sl)], self_f32,
                         dimension_numbers=(((0,), (0,)), ((), ())),
                         preferred_element_type=F32,
-                        precision=jax.lax.Precision.HIGHEST,
+                        precision=hi_p,
                     ).astype(I32)  # [sl, 128]
+                    add_hi = jax.lax.dot_general(
+                        colacc_ref[F : 2 * F, pl.ds(lo, sl)], self_f32,
+                        dimension_numbers=(((0,), (0,)), ((), ())),
+                        preferred_element_type=F32,
+                        precision=hi_p,
+                    ).astype(I32)
                     colblk_ref[pl.ds(lo, sl), :] = (
-                        colblk_ref[pl.ds(lo, sl), :] + addend
+                        colblk_ref[pl.ds(lo, sl), :]
+                        + add_hi * 4096
+                        + add_lo
                     )
                 cpo = pltpu.make_async_copy(
                     colblk_ref, counts_ref.at[:, pl.ds(bb, 128)],
@@ -1118,7 +1330,9 @@ def _evict_columns(
         jax.lax.fori_loop(0, nsl, slot_body, 0)
         slz = _slab_size(V)
         for sb in range(V // slz):
-            colacc_ref[:, pl.ds(sb * slz, slz)] = jnp.zeros((F, slz), F32)
+            colacc_ref[:, pl.ds(sb * slz, slz)] = jnp.zeros(
+                (2 * F, slz), F32
+            )
         colids_v_ref[...] = jnp.full((F, 1), -1, I32)
 
         def reset(t, _):
@@ -1146,6 +1360,7 @@ def _evict_columns(
         "group_rows",
         "pending_cols",
         "interpret",
+        "words_in_hbm",
         "ablate",
     ),
     donate_argnums=tuple(range(8)),
@@ -1167,10 +1382,11 @@ def hbm_merge_chunk(
     num_merges: int,
     chunk_size: int,
     min_frequency: int,
-    batch_words: int = 128,
+    batch_words: int = 256,
     group_rows: int = 16,
     pending_cols: int = 128,
     interpret: bool = False,
+    words_in_hbm: bool = False,
     ablate: int = 0,
 ):
     """Run ``chunk_size`` merge steps in ONE kernel dispatch.
@@ -1178,6 +1394,11 @@ def hbm_merge_chunk(
     Returns the updated 8-tuple of state arrays (all aliased in place).
     ``group_rows`` is accepted for call-site compatibility but unused
     since the line-bucket flush replaced per-row grouping.
+
+    ``words_in_hbm`` keeps the word table in HBM (NR must be a multiple
+    of 256): the affected-word scan streams it through double-buffered
+    VMEM windows and visits DMA straight from HBM — the mode that lifts
+    the VMEM word-table cap to the 1 GB north-star corpus scale.
 
     ``ablate`` compiles phase-ablated PROFILING variants (results are NOT
     exact models): bit 0 skips everything past the vocab update, bit 2
@@ -1190,6 +1411,9 @@ def hbm_merge_chunk(
     A = batch_words
     del group_rows  # superseded by the line-bucket flush
     F = pending_cols
+    if words_in_hbm and NR % 256 != 0:
+        raise ValueError("words_in_hbm requires NR % 256 == 0")
+    SG = 256 if words_in_hbm else 8  # scan buffers are vestigial in VMEM mode
     kernel = partial(
         _hbm_loop_kernel,
         vocab_cap=V,
@@ -1199,6 +1423,7 @@ def hbm_merge_chunk(
         chunk_size=chunk_size,
         min_frequency=min_frequency,
         copy_in=interpret,
+        words_in_hbm=words_in_hbm,
         ablate=ablate,
     )
     out_shape = [
@@ -1214,29 +1439,34 @@ def hbm_merge_chunk(
     vmem = pl.BlockSpec(memory_space=pltpu.VMEM)
     smem = pl.BlockSpec(memory_space=pltpu.SMEM)
     any_ = pl.BlockSpec(memory_space=pl.ANY)
+    wspec = any_ if words_in_hbm else vmem
     return pl.pallas_call(
         kernel,
         out_shape=out_shape,
-        in_specs=[vmem, vmem, vmem, vmem, vmem, any_, smem, any_, smem],
-        out_specs=[vmem, vmem, vmem, vmem, vmem, any_, smem, any_],
+        in_specs=[wspec, vmem, vmem, vmem, vmem, any_, smem, any_, smem],
+        out_specs=[wspec, vmem, vmem, vmem, vmem, any_, smem, any_],
         input_output_aliases={i: i for i in range(8)},
         scratch_shapes=[
             pltpu.VMEM((NR, 128), jnp.int32),       # flags
+            pltpu.VMEM((NR, 1), jnp.int32),          # per-row any-flag
             pltpu.VMEM((8, WL), jnp.int16),          # gather window
             pltpu.VMEM((8, V), jnp.int32),           # count-row window
+            pltpu.VMEM((8, V), jnp.int32),           # second row window
             pltpu.VMEM((A, 128), jnp.int32),         # staged cell lefts
             pltpu.VMEM((A, 128), jnp.int32),         # staged cell rights
             pltpu.VMEM((A, 128), jnp.int32),         # staged cell weights
             pltpu.VMEM((4, V), jnp.int32),           # line-bucket deltas
             pltpu.VMEM((chunk_size, 128), jnp.int32),  # record ring
-            pltpu.VMEM((F, V), jnp.float32),         # pending columns
+            pltpu.VMEM((2 * F, V), jnp.float32),     # pending cols, 2 limbs
             pltpu.VMEM((F, 1), jnp.int32),           # slot -> column id
             pltpu.SMEM((2 * F + 4,), jnp.int32),     # slot meta
             pltpu.VMEM((V, 128), jnp.int32),         # eviction block
             pltpu.VMEM((1, V), jnp.int32),           # verify overlay
             pltpu.VMEM((1, V), jnp.int32),           # pending-positive
             pltpu.VMEM((1, V), jnp.int32),           # pending-any mask
-            pltpu.SemaphoreType.DMA((4,)),
+            pltpu.VMEM((SG, WL), jnp.int16),         # streaming-scan buf A
+            pltpu.VMEM((SG, WL), jnp.int16),         # streaming-scan buf B
+            pltpu.SemaphoreType.DMA((6,)),
         ],
         interpret=interpret,
         compiler_params=pltpu.CompilerParams(

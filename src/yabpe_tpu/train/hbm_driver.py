@@ -34,26 +34,70 @@ class HbmKernelUnsupported(ValueError):
 #: (128 slots) bounds the word width at 64 symbols (2*(W-1) <= 126).
 MAX_VOCAB_CAP = 32768
 MAX_WORD_WIDTH = 64
+#: VMEM plan budget (the kernel compiles with a 110 MB limit; the rest
+#: is slack for Mosaic temporaries) and the HBM budget for the word
+#: table + [V, V] count table (v5e carries 16 GB).
+_VMEM_BUDGET = 100 * 1024 * 1024
+_HBM_BUDGET = 12 * 1024**3
+
+
+def _vmem_estimate(
+    nr: int, W: int, V: int, L: int, *, words_in_vmem: bool,
+    A: int = 256, F: int = 128, chunk: int = 2048,
+) -> int:
+    """Kernel VMEM plan in bytes (mirrors hbm_loop's scratch shapes)."""
+    total = (
+        nr * 128 * 4 + nr * 4      # flags + per-row any-flag
+        + 2 * F * V * 4            # pending columns (2 f32 limbs)
+        + V * 128 * 4              # eviction block
+        + 2 * L * V * 4            # token_bytes in+out windows
+        + 2 * 8 * V * 4            # two count-row windows
+        + 7 * V * 4                # addvecs + pendrow/pendpos/pendany
+        + 3 * A * 128 * 4          # stage
+        + chunk * 128 * 4          # merge-record ring
+        + 8 * (W + 2) * 128 * 2    # gather window
+    )
+    if words_in_vmem:
+        total += 2 * nr * (W + 2) * 128 * 2  # aliased in+out windows
+    else:
+        total += 2 * 256 * (W + 2) * 128 * 2  # streaming-scan buffers
+    return total
+
+
+def hbm_mode(
+    n_words: int, word_width: int, vocab_cap: int, max_token_len: int
+) -> str | None:
+    """How the HBM kernel can run this problem on one chip.
+
+    'vmem': word table VMEM-resident (the fast path); 'hbm': word table
+    streamed from HBM (lifts the table cap to the 1 GB-corpus scale);
+    None: outside the kernel's limits (the XLA bigvocab engine takes it).
+    """
+    if vocab_cap > MAX_VOCAB_CAP or word_width > MAX_WORD_WIDTH:
+        return None
+    W = max(word_width, 2)
+    V = _round_up(max(vocab_cap, 2), 2048 if vocab_cap > 2048 else 128)
+    L = _round_up(max(W, max_token_len, 2), 8)
+    nr = _round_up((n_words + 127) // 128, 8)
+    if _vmem_estimate(nr, W, V, L, words_in_vmem=True) <= _VMEM_BUDGET:
+        return "vmem"
+    nr_h = _round_up(nr, 256)
+    if _vmem_estimate(nr_h, W, V, L, words_in_vmem=False) > _VMEM_BUDGET:
+        return None
+    hbm_bytes = nr_h * (W + 2) * 128 * 2 + 4 * V * V
+    if hbm_bytes > _HBM_BUDGET:
+        return None
+    return "hbm"
 
 
 def hbm_applicable(
     n_words: int, word_width: int, vocab_cap: int, max_token_len: int
 ) -> bool:
     """Whether the HBM kernel can run this problem on one chip."""
-    if vocab_cap > MAX_VOCAB_CAP or word_width > MAX_WORD_WIDTH:
-        return False
-    del max_token_len
-    W = max(word_width, 2)
-    nr = _round_up((n_words + 127) // 128, 8)
-    # The word table appears TWICE in VMEM (aliased input+output windows)
-    # and must leave room for the pending-column buffer (16 MB), the
-    # eviction block (16 MB), flags, stage/row windows and compiler
-    # temporaries within ~110 MB usable VMEM.
-    words_bytes = nr * (W + 2) * 128 * 2 + nr * 128 * 4
-    return words_bytes <= 36 * 1024 * 1024
+    return hbm_mode(n_words, word_width, vocab_cap, max_token_len) is not None
 
 
-def pack_words(table: WordTable) -> np.ndarray:
+def pack_words(table: WordTable, row_multiple: int = 8) -> np.ndarray:
     """Pack [N, W] int32 rows into the interleaved [NR, (W+2)*128] i16
     layout (symbol w of word j at row j//128, lane w*128 + j%128; freq
     limbs in blocks W, W+1)."""
@@ -63,7 +107,7 @@ def pack_words(table: WordTable) -> np.ndarray:
         raise ValueError("word frequency exceeds int32")
     n, w = words.shape
     w = max(w, 2)
-    nr = _round_up((n + 127) // 128, 8)
+    nr = _round_up((n + 127) // 128, row_multiple)
     sym = np.full((nr * 128, w), -1, dtype=np.int16)
     sym[:n, : words.shape[1]] = words.astype(np.int16)
     f = np.zeros((nr * 128,), dtype=np.int64)
@@ -113,8 +157,13 @@ def run_hbm_merge_loop(
     on_chunk=None,
     resume: tuple[np.ndarray, int] | None = None,
     ablate: int = 0,
+    force_words_in_hbm: bool | None = None,
 ) -> np.ndarray:
     """Run the merge loop on the HBM kernel; returns [num_merges, 3] ids.
+
+    The word table is VMEM-resident when it fits (``hbm_mode`` ==
+    'vmem'), else streamed from HBM ('hbm' — the 1 GB-corpus scale).
+    ``force_words_in_hbm`` overrides the automatic placement (tests).
 
     ``resume`` is a ``(merges_ids, steps_done)`` checkpoint (see
     yabpe_tpu.train.checkpoint): the first ``steps_done`` recorded merges
@@ -130,6 +179,21 @@ def run_hbm_merge_loop(
 
     base_tokens = list(base_vocab.tokens())
     b0 = len(base_tokens)
+    mode = hbm_mode(
+        int(table.words.shape[0]),
+        int(table.words.shape[1]),
+        vocab_cap,
+        base_vocab.max_token_len(),
+    )
+    if force_words_in_hbm is None:
+        if mode is None:
+            raise HbmKernelUnsupported(
+                "problem exceeds the HBM kernel's limits "
+                "(vocab <= 32768, word width <= 64, HBM capacity)"
+            )
+        words_in_hbm = mode == "hbm"
+    else:
+        words_in_hbm = force_words_in_hbm
     # Round to a 2048 multiple above 2048 so the kernel's one-hot slab is
     # the full 2048 lanes (a ragged V forces a narrow slab and an
     # unrolled slab loop).
@@ -141,15 +205,10 @@ def run_hbm_merge_loop(
     # size the record buffer to a whole number of chunks.
     M = _round_up(max(num_merges, 1), chunk)
 
-    packed = pack_words(table)
+    packed = pack_words(table, row_multiple=256 if words_in_hbm else 8)
+    # Pair counts up to 2^31 are exact: the kernel's pending-column
+    # accumulator stores two 12-bit-split f32 limbs per slot.
     corner_np = initial_corner_counts(table, b0)
-    if int(corner_np.max(initial=0)) >= (1 << 23):
-        # The pending-column accumulator holds deltas in f32 (exact below
-        # 2^24 with headroom for one best-count accumulation step).
-        raise HbmKernelUnsupported(
-            "max pair count reaches the pending-column f32 exactness "
-            "bound; use the XLA bigvocab engine"
-        )
     token_bytes, token_len = lexkey.initial_token_matrix(base_tokens, V, L)
     lex_rank = lexkey.initial_lex_ranks(base_tokens, V)
 
@@ -206,6 +265,7 @@ def run_hbm_merge_loop(
             chunk_size=chunk,
             min_frequency=min_frequency,
             interpret=interpret,
+            words_in_hbm=words_in_hbm,
             ablate=ablate,
         )
         start += chunk
@@ -222,6 +282,7 @@ __all__ = [
     "run_hbm_merge_loop",
     "HbmKernelUnsupported",
     "hbm_applicable",
+    "hbm_mode",
     "pack_words",
     "initial_corner_counts",
     "MAX_VOCAB_CAP",

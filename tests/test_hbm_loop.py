@@ -73,9 +73,15 @@ def test_initial_corner_counts_matches_dense(small_corpus):
 
 
 def test_hbm_applicable_bounds():
-    assert hbm_applicable(100_000, 32, 32768, 32)
+    from yabpe_tpu.train.hbm_driver import hbm_mode
+
+    assert hbm_mode(100_000, 32, 32768, 32) == "vmem"
     assert not hbm_applicable(100_000, 32, 32769, 32)
     assert not hbm_applicable(100_000, 80, 32768, 80)
+    # word table past the VMEM plan -> streamed-from-HBM mode (the 1 GB
+    # north-star shape: ~3.9M uniques, width 16)
+    assert hbm_mode(3_900_000, 16, 32768, 16) == "hbm"
+    # VMEM plan blown even in streaming mode (flags/token at 10M x W64)
     assert not hbm_applicable(10_000_000, 64, 32768, 64)
 
 
@@ -138,6 +144,29 @@ def test_hbm_kernel_golden_fixture_tpu():
         REF_FIXTURES / "train-bpe-reference-merges.txt"
     )
     assert merges == ref
+
+
+@pytest.mark.parametrize("vocab_size,min_freq", [(300, 1), (280, 3)])
+def test_hbm_kernel_words_in_hbm_interpret(small_corpus, vocab_size, min_freq):
+    """Streaming-scan (words-in-HBM) mode must match the oracle exactly:
+    the mode the 1 GB corpus runs in, forced here onto a small table."""
+    counter, wt, base = small_corpus
+    num = vocab_size - len(list(base.tokens()))
+    merges_ids = run_hbm_merge_loop(
+        wt,
+        base,
+        vocab_cap=vocab_size,
+        num_merges=num,
+        min_frequency=min_freq,
+        chunk_size=16,
+        interpret=True,
+        force_words_in_hbm=True,
+    )
+    _, merges = train_state.merges_to_bytes(merges_ids, base)
+    _, want = train_merges_oracle(
+        counter, ["<|endoftext|>"], vocab_size, min_freq
+    )
+    assert merges == want
 
 
 def test_hbm_kernel_dense_affected_interpret():
@@ -315,21 +344,30 @@ def test_hbm_routing_unit(monkeypatch, small_corpus):
     assert tr._should_use_hbm(wt, 4096)
 
 
-def test_hbm_exactness_bound_raises():
-    """Pair counts at/above 2^23 must refuse the f32 pending-column path
-    (trainer then falls back to the bigvocab engine)."""
+def test_hbm_big_counts_two_limb_exact():
+    """Pair counts far beyond 2^24 (the single-f32 exactness bound) stay
+    byte-exact through the two-limb pending-column accumulator — the
+    regime the 1 GB north-star corpus hits (max pair count ~18.7M)."""
     from collections import Counter
 
-    from yabpe_tpu.train.hbm_driver import HbmKernelUnsupported
-
-    counter = Counter({b" aa": 1 << 23})
+    counter = Counter(
+        {
+            b" aab": (1 << 24) + 12345,   # pair counts ~16.8M
+            b" aac": (1 << 23) + 7,
+            b" bcbc": (1 << 22) + 3,
+            b" abcabc": 1023,
+            b" xyzw": 5,
+        }
+    )
     base = Vocab.base([])
     wt = WordTable.from_counter(counter)
-    with pytest.raises(HbmKernelUnsupported):
-        run_hbm_merge_loop(
-            wt, base, vocab_cap=512, num_merges=4, min_frequency=1,
-            chunk_size=4, interpret=True,
-        )
+    merges_ids = run_hbm_merge_loop(
+        wt, base, vocab_cap=280, num_merges=16, min_frequency=1,
+        chunk_size=4, interpret=True,
+    )
+    _, merges = train_state.merges_to_bytes(merges_ids, base)
+    _, want = train_merges_oracle(counter, [], 256 + 16, 1)
+    assert merges == want[:16]
 
 
 def test_trainer_falls_back_when_hbm_unsupported(tmp_path, monkeypatch):
