@@ -287,6 +287,17 @@ def _hbm_loop_kernel(
     A = stage_l_ref.shape[0]
     F = colacc_ref.shape[0] // 2
     NB = W - 1  # adjacent-pair position blocks
+    # Vocabularies past i16 range (GPT-2's 50,257) store symbol ids as
+    # u16 BIT PATTERNS in the i16 word table: reads mask to the low 16
+    # bits, the empty sentinel -1 reads as 65535, and write-back's
+    # i32->i16 convert truncates bits (65535 -> -1) so storage stays
+    # uniform. Freq limb blocks are unaffected (they already mask/shift).
+    WIDE = V > 32768
+    EMPTY = 65535 if WIDE else -1
+
+    def _sym32(x):
+        v = x.astype(I32)
+        return (v & 0xFFFF) if WIDE else v
 
     # VMEM-windowed outputs do not inherit the aliased input's contents
     # (input and output windows are separate on-chip buffers); copy them
@@ -602,12 +613,12 @@ def _hbm_loop_kernel(
                         flag = jnp.zeros((rows, 128), I32)
                         for k in range(NB):
                             mk = (
-                                win[:, k * 128 : (k + 1) * 128].astype(I32)
+                                _sym32(win[:, k * 128 : (k + 1) * 128])
                                 == a
                             ) & (
-                                win[
-                                    :, (k + 1) * 128 : (k + 2) * 128
-                                ].astype(I32)
+                                _sym32(
+                                    win[:, (k + 1) * 128 : (k + 2) * 128]
+                                )
                                 == b
                             )
                             flag = flag | _b2i(mk)
@@ -691,7 +702,7 @@ def _hbm_loop_kernel(
                             pendany_ref, sems,
                             V=V, W=W, NR=NR, WL=WL, A=A, F=F,
                             iota_v=iota_v, iota_wl=iota_wl,
-                            iota_nb=iota_nb,
+                            iota_nb=iota_nb, sym32=_sym32, empty=EMPTY,
                             skip_flush=bool(ablate & 2),
                         )
 
@@ -722,7 +733,7 @@ def _process_affected(
     pendpos_ref, pendany_ref, sems,
     *,
     V: int, W: int, NR: int, WL: int, A: int, F: int,
-    iota_v, iota_wl, iota_nb,
+    iota_v, iota_wl, iota_nb, sym32, empty: int,
     skip_flush: bool = False,
 ):
     """Apply the merge window-at-a-time and fold the count deltas.
@@ -794,7 +805,7 @@ def _process_affected(
             )
             cp.start()
             cp.wait()
-            win = gwin_ref[...].astype(I32)  # [8, WL]
+            win = sym32(gwin_ref[...])  # [8, WL]
 
             fmask = fmask_take  # [8, 128] words processed this visit
             fm_nb = jnp.concatenate([fmask] * NB, axis=1)
@@ -808,8 +819,8 @@ def _process_affected(
             applied_at = jnp.concatenate([applied_i, z8], axis=1) != 0
             removed_full = jnp.concatenate([z8, applied_i], axis=1) != 0
             newvals = jnp.where(applied_at, c, syms)
-            keep = jnp.logical_not(removed_full) & (syms >= 0)
-            merged = _butterfly_compact_blocks(newvals, keep, W, -1)
+            keep = jnp.logical_not(removed_full) & (syms != empty)
+            merged = _butterfly_compact_blocks(newvals, keep, W, empty)
             fm_w = jnp.concatenate([fmask] * W, axis=1)
             new_syms = jnp.where(fm_w, merged, syms)
 
@@ -859,35 +870,27 @@ def _process_affected(
             nr = new_syms[:, 128:]
             cv = jnp.concatenate(
                 [
-                    fm_nb & (r >= 0) & in_old,
-                    fm_nb & (nr >= 0) & in_new,
+                    fm_nb & (r != empty) & in_old,
+                    fm_nb & (nr != empty) & in_new,
                 ],
                 axis=1,
             )
             cl = jnp.concatenate([l, nl], axis=1)
             cr = jnp.concatenate([r, nr], axis=1)
-            packed = jnp.where(cv, cl * 32768 + cr, -1)
-            cw = jnp.where(
-                cv,
-                jnp.concatenate([-f_nb, f_nb], axis=1),
-                0,
+            cw = jnp.concatenate([-f_nb, f_nb], axis=1)
+            # (l, r, w) compact TOGETHER on one shared rank (stage pads:
+            # l = -1 marks an empty slot in both narrow and wide modes —
+            # live cell symbols are always >= 0 there)
+            clc, crc, cwc = _compact_lanes_multi(
+                [cl, cr, cw], [-1, -1, 0], cv
             )
-            cpk, cwc = _compact_lanes_multi([packed, cw], [-1, 0], cv)
             ccount = jnp.sum(_b2i(cv), axis=1, keepdims=True)  # [8, 1]
             cmax = jnp.max(ccount)
 
             kpos = pl.multiple_of(k, 8)
-            stage_l_ref[pl.ds(kpos, 8), :] = jnp.where(
-                cpk[:, :128] >= 0, cpk[:, :128] // 32768, -1
-            )
-            stage_r_ref[pl.ds(kpos, 8), :] = jnp.where(
-                cpk[:, :128] >= 0,
-                cpk[:, :128] - (cpk[:, :128] // 32768) * 32768,
-                -1,
-            )
-            stage_w_ref[pl.ds(kpos, 8), :] = jnp.where(
-                cpk[:, :128] >= 0, cwc[:, :128], 0
-            )
+            stage_l_ref[pl.ds(kpos, 8), :] = clc[:, :128]
+            stage_r_ref[pl.ds(kpos, 8), :] = crc[:, :128]
+            stage_w_ref[pl.ds(kpos, 8), :] = cwc[:, :128]
             used = jnp.int32(8)
             for sl in range(1, MAX_SLICES):
                 lo = sl * 128
@@ -896,17 +899,9 @@ def _process_affected(
                 @pl.when(sl_needed)
                 def _(sl=sl, lo=lo):
                     kp = pl.multiple_of(k + sl * 8, 8)
-                    pk_s = cpk[:, lo : lo + 128]
-                    cw_s = cwc[:, lo : lo + 128]
-                    stage_l_ref[pl.ds(kp, 8), :] = jnp.where(
-                        pk_s >= 0, pk_s // 32768, -1
-                    )
-                    stage_r_ref[pl.ds(kp, 8), :] = jnp.where(
-                        pk_s >= 0, pk_s - (pk_s // 32768) * 32768, -1
-                    )
-                    stage_w_ref[pl.ds(kp, 8), :] = jnp.where(
-                        pk_s >= 0, cw_s, 0
-                    )
+                    stage_l_ref[pl.ds(kp, 8), :] = clc[:, lo : lo + 128]
+                    stage_r_ref[pl.ds(kp, 8), :] = crc[:, lo : lo + 128]
+                    stage_w_ref[pl.ds(kp, 8), :] = cwc[:, lo : lo + 128]
 
                 used = used + jnp.where(sl_needed, 8, 0)
 

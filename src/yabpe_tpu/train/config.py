@@ -95,7 +95,9 @@ class BBPETrainerConfig:
     align_chunks_to_newline: bool = False
     data_shards: int | None = None
     vocab_shards: int = 1
-    max_pair_table_bytes: int = 6 * 1024 * 1024 * 1024
+    # 11 GB admits GPT-2-scale vocabularies (50,257 -> a 10.5 GB [V, V]
+    # table) on a 16 GB-HBM chip while still catching nonsense sizes.
+    max_pair_table_bytes: int = 11 * 1024 * 1024 * 1024
     checkpoint_dir: str | None = None
     checkpoint_every_chunks: int = 4
     use_fused_kernel: bool | None = None

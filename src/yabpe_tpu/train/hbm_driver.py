@@ -30,9 +30,12 @@ class HbmKernelUnsupported(ValueError):
     """The problem violates an HBM-kernel exactness precondition."""
 
 
-#: i16 symbol ids bound the vocabulary; the per-word changed-cell buffer
-#: (128 slots) bounds the word width at 64 symbols (2*(W-1) <= 126).
-MAX_VOCAB_CAP = 32768
+#: Symbol ids are u16 bit patterns in the i16 word table (65535 = the
+#: empty sentinel), and the flush's slab-presence bitmask holds 31 slabs
+#: of 2048 columns — so the vocabulary caps at 31 * 2048 = 63488, which
+#: covers GPT-2's 50,257 on-device. Word width caps at 64 symbols
+#: (changed-cell buffers).
+MAX_VOCAB_CAP = 63488
 MAX_WORD_WIDTH = 64
 #: VMEM plan budget (the kernel compiles with a 110 MB limit; the rest
 #: is slack for Mosaic temporaries) and the HBM budget for the word
@@ -78,11 +81,15 @@ def hbm_mode(
     W = max(word_width, 2)
     V = _round_up(max(vocab_cap, 2), 2048 if vocab_cap > 2048 else 128)
     L = _round_up(max(W, max_token_len, 2), 8)
+    F = pending_cols_for(V)
     nr = _round_up((n_words + 127) // 128, 8)
-    if _vmem_estimate(nr, W, V, L, words_in_vmem=True) <= _VMEM_BUDGET:
+    if _vmem_estimate(nr, W, V, L, words_in_vmem=True, F=F) <= _VMEM_BUDGET:
         return "vmem"
     nr_h = _round_up(nr, 256)
-    if _vmem_estimate(nr_h, W, V, L, words_in_vmem=False) > _VMEM_BUDGET:
+    if (
+        _vmem_estimate(nr_h, W, V, L, words_in_vmem=False, F=F)
+        > _VMEM_BUDGET
+    ):
         return None
     hbm_bytes = nr_h * (W + 2) * 128 * 2 + 4 * V * V
     if hbm_bytes > _HBM_BUDGET:
@@ -95,6 +102,12 @@ def hbm_applicable(
 ) -> bool:
     """Whether the HBM kernel can run this problem on one chip."""
     return hbm_mode(n_words, word_width, vocab_cap, max_token_len) is not None
+
+
+def pending_cols_for(V: int) -> int:
+    """Pending-column slots: halved past 32k vocab so the two-limb f32
+    buffer (2F x V) stays within the VMEM plan at GPT-2-scale V."""
+    return 128 if V <= 32768 else 64
 
 
 def pack_words(table: WordTable, row_multiple: int = 8) -> np.ndarray:
@@ -264,6 +277,7 @@ def run_hbm_merge_loop(
             num_merges=num_merges,
             chunk_size=chunk,
             min_frequency=min_frequency,
+            pending_cols=pending_cols_for(V),
             interpret=interpret,
             words_in_hbm=words_in_hbm,
             ablate=ablate,

@@ -418,8 +418,8 @@ class BBPETrainer:
             if not fits:
                 raise ValueError(
                     "use_hbm_kernel=True but the problem exceeds the HBM "
-                    "kernel's limits (vocab <= 32768, word width <= 64, "
-                    "word table within VMEM)"
+                    "kernel's limits (vocab <= 63488, word width <= 64, "
+                    "word table within HBM)"
                 )
             return True
         from yabpe_tpu.utils.jaxsetup import effective_backend

@@ -76,7 +76,9 @@ def test_hbm_applicable_bounds():
     from yabpe_tpu.train.hbm_driver import hbm_mode
 
     assert hbm_mode(100_000, 32, 32768, 32) == "vmem"
-    assert not hbm_applicable(100_000, 32, 32769, 32)
+    # u16 bit-pattern ids carry vocabularies past i16 range (GPT-2 scale)
+    assert hbm_applicable(100_000, 32, 50_257, 32)
+    assert not hbm_applicable(100_000, 32, 63_489, 32)
     assert not hbm_applicable(100_000, 80, 32768, 80)
     # word table past the VMEM plan -> streamed-from-HBM mode (the 1 GB
     # north-star shape: ~3.9M uniques, width 16)
@@ -297,10 +299,11 @@ def test_forced_hbm_unfit_raises(tmp_path):
     f = tmp_path / "c.txt"
     f.write_text("tiny corpus " * 20, encoding="utf-8")
     cfg = BBPETrainerConfig(
-        vocab_size=40000,
+        vocab_size=63_500,  # past the 63,488 u16/slab-bitmask cap
         min_frequency=1,
         use_hbm_kernel=True,
         use_native_loop=False,  # tiny corpora otherwise take the C++ loop
+        max_pair_table_bytes=1 << 44,
     )
     with pytest.raises(ValueError, match="exceeds the HBM"):
         BBPETrainer(cfg).train([f])
@@ -342,6 +345,95 @@ def test_hbm_routing_unit(monkeypatch, small_corpus):
         )
     )
     assert tr._should_use_hbm(wt, 4096)
+
+
+def _mini_merge_oracle(words, freqs, tokens, num_merges, min_frequency):
+    """Direct-from-table reference merge loop (reference semantics:
+    /root/reference/src/yet_another_bpe/trainer.py:216-302) for problems
+    whose base vocab is not expressible as bytes+specials (wide-id test)."""
+    tokens = list(tokens)
+    tok2id = {t: i for i, t in enumerate(tokens)}
+    words = [list(w) for w in words]
+    out = []
+    for _ in range(num_merges):
+        counts: dict[tuple[int, int], int] = {}
+        for w, f in zip(words, freqs):
+            for x, y in zip(w, w[1:]):
+                counts[(x, y)] = counts.get((x, y), 0) + f
+        if not counts:
+            break
+        (a, b), cnt = max(
+            counts.items(),
+            key=lambda kv: (kv[1], tokens[kv[0][0]], tokens[kv[0][1]]),
+        )
+        if cnt < max(min_frequency, 1):
+            break
+        merged = tokens[a] + tokens[b]
+        c = tok2id.get(merged)
+        if c is None:
+            c = len(tokens)
+            tokens.append(merged)
+            tok2id[merged] = c
+        out.append((a, b, c))
+        for i, w in enumerate(words):
+            j, nw = 0, []
+            while j < len(w):
+                if j + 1 < len(w) and w[j] == a and w[j + 1] == b:
+                    nw.append(c)
+                    j += 2
+                else:
+                    nw.append(w[j])
+                    j += 1
+            words[i] = nw
+    return out
+
+
+@pytest.mark.slow
+def test_hbm_wide_vocab_u16_ids_interpret():
+    """Vocabularies past i16 (GPT-2's 50,257 regime): symbol ids >= 32768
+    stored as u16 bit patterns must train byte-exactly. A synthetic
+    33,000-token base vocab puts wide ids in play from step one."""
+    from yabpe_tpu.train.hbm_driver import hbm_mode
+
+    rng = np.random.default_rng(11)
+    b0 = 33_000
+    base = Vocab()
+    for i in range(b0):
+        # distinct 3-byte strings, lexicographically varied
+        base.add(bytes([i % 251, (i // 251) % 251, 7 + i % 13]))
+    tokens = list(base.tokens())
+    assert len(tokens) == b0
+
+    n_words = 600
+    word_rows = []
+    freqs = []
+    for _ in range(n_words):
+        ln = int(rng.integers(2, 7))
+        # cluster ids so pairs repeat (and many ids sit >= 32768)
+        word_rows.append(
+            [int(32_700 + rng.integers(0, 280)) for _ in range(ln)]
+        )
+        freqs.append(int(rng.integers(1, 9)))
+    width = 16
+    words_np = np.full((1024, width), -1, dtype=np.int32)
+    freqs_np = np.zeros((1024,), dtype=np.int64)
+    for i, (w, f) in enumerate(zip(word_rows, freqs)):
+        words_np[i, : len(w)] = w
+        freqs_np[i] = f
+    wt = WordTable(
+        words=words_np, freqs=freqs_np, num_words=n_words, max_len=width
+    )
+
+    num = 24
+    vocab_cap = b0 + num
+    assert hbm_mode(n_words, width, vocab_cap, 3) is not None
+    ids = run_hbm_merge_loop(
+        wt, base, vocab_cap=vocab_cap, num_merges=num, min_frequency=1,
+        chunk_size=num, interpret=True,
+    )
+    got = [tuple(r) for r in ids if r[0] >= 0]
+    want = _mini_merge_oracle(word_rows, freqs, tokens, num, 1)
+    assert got == want
 
 
 def test_hbm_big_counts_two_limb_exact():
