@@ -365,6 +365,7 @@ def _worker() -> None:
     except Exception as e:  # subsidiary benches must not kill the headline
         _log(f"subsidiary bench failed: {e!r}")
 
+    _cross_round_compare(train_bps)
     print(
         json.dumps(
             {
@@ -377,6 +378,29 @@ def _worker() -> None:
             }
         ),
         flush=True,
+    )
+
+
+def _cross_round_compare(train_bps: float) -> None:
+    """Flag real regressions behind this 2-core VM's run-to-run noise:
+    compare the headline against every recorded BENCH_r*.json (round 2
+    measured 97x, round 3 measured 72x with identical code, so only a
+    drop below ~60% of the best prior round is worth investigating)."""
+    prior = []
+    for p in sorted(REPO.glob("BENCH_r*.json")):
+        try:
+            rec = json.loads(p.read_text())
+            prior.append((p.name, float(rec["parsed"]["value"])))
+        except Exception:
+            continue
+    if not prior:
+        return
+    best_name, best = max(prior, key=lambda kv: kv[1])
+    ratio = train_bps / best
+    flag = " [REGRESSION? below 0.6x best prior]" if ratio < 0.6 else ""
+    _log(
+        f"cross-round: headline {train_bps / 1e6:.1f} MB/s vs best prior "
+        f"{best / 1e6:.1f} MB/s ({best_name}) = {ratio:.2f}x{flag}"
     )
 
 

@@ -87,13 +87,16 @@ t_ingest_union = time.perf_counter() - t0
 base = Vocab.base(["<|endoftext|>"])
 wt = WordTable.from_counter(counter_from_raw(*raw))
 t0 = time.perf_counter()
+stats = {{}}
 merges = run_sharded_merge_loop(
     wt, base, vocab_cap={vocab}, num_merges={vocab} - len(base),
-    min_frequency=2, data_shards=2, chunk_size=128, spec_batch=16)
+    min_frequency=2, data_shards=2, chunk_size=128, spec_batch=16,
+    stats_out=stats)
 t_merge = time.perf_counter() - t0
 digest = hashlib.sha256(np.ascontiguousarray(merges).tobytes()).hexdigest()
 print("RESULT", json.dumps({{"pid": pid, "ingest_union": t_ingest_union,
-                             "merge": t_merge, "digest": digest}}),
+                             "merge": t_merge, "digest": digest,
+                             "stats": stats}}),
       flush=True)
 """
 
@@ -347,6 +350,15 @@ def _train_phase(
         "sharded merges diverged from single-process"
     )
     t_merge_sh = max(r["merge"] for r in results.values())
+    stats = results[0].get("stats") or {}
+    if stats:
+        print(
+            f"  speculative: {stats['spec_commits']} commits / "
+            f"{stats['spec_epochs']} epochs = "
+            f"{stats['commits_per_epoch']:.2f} commits/epoch, "
+            f"{stats['fallback_chunks']} fallback chunks, "
+            f"final k={stats['final_k']}"
+        )
     # Per-host critical path: isolated shard ingest + union (from the
     # ingest phase above, same corpus/pinning assumptions) + the real
     # lockstep sharded merge wall-clock.

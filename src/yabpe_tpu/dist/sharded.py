@@ -361,6 +361,7 @@ def run_sharded_merge_loop(
     resume: tuple[np.ndarray, int] | None = None,
     on_chunk=None,
     spec_batch: int = 0,
+    stats_out: dict | None = None,
 ) -> np.ndarray:
     """Run the merge loop sharded over a (data[, vocab]) mesh.
 
@@ -484,6 +485,7 @@ def run_sharded_merge_loop(
             spec_batch=spec_batch,
             affected_cap=pick_affected_cap(rows_per_shard),
             on_chunk=on_chunk,
+            stats_out=stats_out,
         )
 
     start = start_step
@@ -511,44 +513,78 @@ def _run_speculative(
     spec_batch: int,
     affected_cap: int,
     on_chunk,
+    stats_out: dict | None = None,
 ) -> np.ndarray:
     """Drive speculate/validate epochs; fall back to the tiered per-merge
-    body for any merge whose epoch made no progress (cap0 overflow)."""
-    from yabpe_tpu.dist.speculative import sharded_chunk_speculative
+    body for any merge whose epoch made no progress (cap0 overflow).
 
-    k = max(2, min(spec_batch, num_merges))
+    k (merges speculated per collective round) ADAPTS to the observed
+    commit rate between chunks: misprediction wastes k-p word-shard
+    scans per epoch, so a low commits/epoch rate halves k (less wasted
+    compute) and a high one doubles it (fewer collectives). Variants
+    compile lazily per k and results are bit-identical for any k
+    schedule (epochs are independent).
+    """
+    from yabpe_tpu.dist.speculative import sharded_chunk_speculative
+    from yabpe_tpu.utils.logging import get_logger
+
+    log = get_logger(__name__)
     cap0 = affected_cap
     cap = min(256, cap0)
-    spec_fn = jax.jit(
-        shard_map(
-            partial(
-                sharded_chunk_speculative,
-                vocab_cap=vocab_cap,
-                min_frequency=min_frequency,
-                num_merges=num_merges,
-                chunk_size=chunk,
-                spec_batch=k,
-                cap0=cap0,
-                cap=cap,
-            ),
-            mesh=mesh,
-            in_specs=(specs, P()),
-            out_specs=(specs, P()),
-            check_vma=False,
-        ),
-        donate_argnums=(0,),
-    )
+    fns: dict[int, object] = {}
 
+    def spec_fn_for(k: int):
+        if k not in fns:
+            fns[k] = jax.jit(
+                shard_map(
+                    partial(
+                        sharded_chunk_speculative,
+                        vocab_cap=vocab_cap,
+                        min_frequency=min_frequency,
+                        num_merges=num_merges,
+                        chunk_size=chunk,
+                        spec_batch=k,
+                        cap0=cap0,
+                        cap=cap,
+                    ),
+                    mesh=mesh,
+                    in_specs=(specs, P()),
+                    out_specs=(specs, P(), P()),
+                    check_vma=False,
+                ),
+                donate_argnums=(0,),
+            )
+        return fns[k]
+
+    k = max(2, min(spec_batch, num_merges))
+    total_epochs = 0
+    total_spec_commits = 0
+    fallbacks = 0
     start = start_step
     while start < num_merges:
         chunk_end = min(start + chunk, num_merges)
-        state, ptr = spec_fn(state, jnp.asarray(start, dtype=jnp.int32))
+        state, ptr, epochs = spec_fn_for(k)(
+            state, jnp.asarray(start, dtype=jnp.int32)
+        )
         ptr = int(np.asarray(ptr))
+        epochs = int(np.asarray(epochs))
+        total_epochs += epochs
+        total_spec_commits += ptr - start
+        if epochs > 0:
+            # Waste-optimal k tracks ~2x the observed commits/epoch: the
+            # k-p mispredicted merges per epoch are pure thrown-away
+            # word-shard work, so k far above the commit rate burns
+            # compute while k at the rate forfeits latency amortization.
+            cpe = (ptr - start) / epochs
+            k = 4
+            while k < 2 * cpe and k < 64:
+                k *= 2
         if ptr < chunk_end and not bool(state.core.stopped):
             # No-progress epoch: merge ``ptr``'s delta overflowed the
             # fixed speculation capacity on some host (heavy early
             # merges). Advance a chunk through the tiered per-merge body
             # (which escalates capacities up to the full recount).
+            fallbacks += 1
             state = single_chunk_fn(state, jnp.asarray(ptr, jnp.int32))
             ptr = min(ptr + chunk, num_merges)
         start = ptr
@@ -556,6 +592,20 @@ def _run_speculative(
             on_chunk(np.asarray(state.core.merges), min(start, num_merges))
         if bool(state.core.stopped):
             break
+    commits_per_epoch = total_spec_commits / max(total_epochs, 1)
+    log.info(
+        "speculative loop: %d merges in %d epochs (%.2f commits/epoch), "
+        "%d fallback chunks, final k=%d",
+        total_spec_commits, total_epochs, commits_per_epoch, fallbacks, k,
+    )
+    if stats_out is not None:
+        stats_out.update(
+            spec_epochs=total_epochs,
+            spec_commits=total_spec_commits,
+            commits_per_epoch=commits_per_epoch,
+            fallback_chunks=fallbacks,
+            final_k=k,
+        )
     return np.asarray(state.core.merges)
 
 

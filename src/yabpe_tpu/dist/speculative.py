@@ -90,8 +90,46 @@ def _spec_epoch(
         words_s, keys, w = pack_merge_delta(
             words_s, freqs, affected, left, right, new_sym, capj, V
         )
+        # ---- follow-up estimation (speculation-only; validation is the
+        # exactness gate, so ANY deterministic replicated estimate is
+        # safe). A merge (a,b)->c moves pair mass (x,a)->(x,c) and
+        # (b,y)->(c,y) for the a/b occurrences that actually merged.
+        # The frozen view scores every pair involving the NEW symbol 0,
+        # which systematically breaks the speculative chain right after
+        # each merge (measured 3.6 commits per 16-merge epoch); estimate
+        # the moved fraction from the frozen view instead: the share of
+        # a's right-pairings (resp. b's left-pairings) that were (a,b).
+        # f32 arithmetic is bit-deterministic across hosts (identical
+        # replicated inputs), so all hosts build the SAME view.
+        iota_flat = jnp.arange(V, dtype=jnp.int32)
+        col_a = gview[iota_flat * V + left]
+        row_a = jax.lax.dynamic_slice(gview, (left * V,), (V,))
+        col_b = gview[iota_flat * V + right]
+        row_b = jax.lax.dynamic_slice(gview, (right * V,), (V,))
+        n_ab = jnp.maximum(cnt, 0)
+        denom_a = jnp.maximum(jnp.maximum(jnp.sum(row_a), n_ab), 1)
+        denom_b = jnp.maximum(jnp.maximum(jnp.sum(col_b), n_ab), 1)
+        frac_a = n_ab.astype(jnp.float32) / denom_a.astype(jnp.float32)
+        frac_b = n_ab.astype(jnp.float32) / denom_b.astype(jnp.float32)
+        est_col = jnp.floor(col_a.astype(jnp.float32) * frac_a)
+        est_row = jnp.floor(row_b.astype(jnp.float32) * frac_b)
+        est_col = jnp.clip(est_col.astype(jnp.int32), 0, col_a)
+        est_row = jnp.clip(est_row.astype(jnp.int32), 0, row_b)
+        est_col = jnp.where(do, est_col, 0)
+        est_row = jnp.where(do, est_row, 0)
+        safe_c = jnp.clip(new_sym, 0, V - 1)
+        gview = gview.at[iota_flat * V + safe_c].add(est_col)
+        gview = gview.at[iota_flat * V + left].add(-est_col)
+        rc = jax.lax.dynamic_slice(gview, (safe_c * V,), (V,)) + est_row
+        gview = jax.lax.dynamic_update_slice(gview, rc, (safe_c * V,))
+        rb2 = jax.lax.dynamic_slice(gview, (right * V,), (V,)) - est_row
+        gview = jax.lax.dynamic_update_slice(gview, rb2, (right * V,))
         zidx = jnp.where(do, left * V + right, oob)
         gview = gview.at[zidx].set(0, mode="drop")
+        # keep rmv a true upper bound of the adjusted view: column-c adds
+        # may raise any row's max; row c/b rewrites re-bound those rows
+        rmv = jnp.maximum(rmv, gview[iota_flat * V + safe_c])
+        rmv = rmv.at[safe_c].max(jnp.max(rc))
         return core_s, words_s, gview, rmv, do, left, right, new_sym, keys, w
 
     A = jnp.zeros((k,), jnp.int32)
@@ -242,31 +280,33 @@ def sharded_chunk_speculative(
 ):
     """Run speculative epochs until the chunk is covered or progress stalls.
 
-    Returns (state, ptr): ``ptr`` < chunk end with ``stopped`` unset means
-    an epoch made no progress (merge 0's delta overflowed ``cap0`` on some
-    host) — the caller must advance that single merge through the tiered
-    per-merge body and re-enter.
+    Returns (state, ptr, epochs): ``ptr`` < chunk end with ``stopped``
+    unset means an epoch made no progress (merge 0's delta overflowed
+    ``cap0`` on some host) — the caller must advance that single merge
+    through the tiered per-merge body and re-enter. ``epochs`` counts the
+    collective rounds spent (commits/epoch = the efficiency signal the
+    driver logs and adapts k by).
     """
     end = jnp.minimum(chunk_start + chunk_size, num_merges)
 
     def cond(carry):
-        state, ptr, last_p = carry
+        state, ptr, last_p, _ = carry
         return (ptr < end) & (last_p > 0) & ~state.core.stopped
 
     def body(carry):
-        state, ptr, _ = carry
+        state, ptr, _, epochs = carry
         state, p = _spec_epoch(
             state, ptr,
             k=spec_batch, vocab_cap=vocab_cap,
             min_frequency=min_frequency, num_merges=num_merges,
             cap0=cap0, cap=cap,
         )
-        return state, ptr + p, p
+        return state, ptr + p, p, epochs + 1
 
-    state, ptr, _ = jax.lax.while_loop(
-        cond, body, (state, chunk_start, jnp.int32(1))
+    state, ptr, _, epochs = jax.lax.while_loop(
+        cond, body, (state, chunk_start, jnp.int32(1), jnp.int32(0))
     )
-    return state, ptr
+    return state, ptr, epochs
 
 
 __all__ = ["sharded_chunk_speculative"]

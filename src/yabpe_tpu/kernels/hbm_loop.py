@@ -1466,7 +1466,11 @@ def hbm_merge_chunk(
         interpret=interpret,
         compiler_params=pltpu.CompilerParams(
             has_side_effects=True,
-            vmem_limit_bytes=110 * 1024 * 1024,
+            # v5e carries 128 MB VMEM; the driver plans to ~100 MB
+            # (hbm_driver._VMEM_BUDGET) and this cap leaves ~22 MB for
+            # Mosaic temporaries (the 50k-vocab config measures ~16 MB
+            # of them on top of the planned buffers).
+            vmem_limit_bytes=122 * 1024 * 1024,
         ),
     )(
         words, row_max, token_bytes, token_len, lex_rank, merges,

@@ -219,6 +219,93 @@ class DeviceEncoder:
             out.append(ids)
         return out
 
+    def encode_file(
+        self, path, *, chunk_bytes: int = 4 * 1024 * 1024
+    ) -> np.ndarray:
+        """Encode a whole file exactly through the device scan kernel.
+
+        Pipelined: the native pre-tokenization of chunk i+1 runs on the
+        host WHILE the device executes chunk i's dispatched tiles (JAX
+        dispatch is async), and the unique-word device cache persists
+        across chunks AND across calls (a warm second file pays no device
+        work for words already seen). Chunks split only at pretoken-safe
+        boundaries (yabpe_tpu.tok.parallel_encode.safe_cut_points), so
+        the output is byte-identical to ``encode(file_contents)``
+        (/root/reference/src/yet_another_bpe/tokenizer.py encode
+        semantics). Requires the native scanner.
+        """
+        if not native.available():
+            raise RuntimeError(
+                "device encode_file requires the native scanner"
+            )
+        from yabpe_tpu.tok.parallel_encode import safe_cut_points
+
+        spans = safe_cut_points(path, chunk_bytes, self._special_tokens)
+        specials_sorted = sorted(
+            self._special_tokens, key=len, reverse=True
+        )
+        sp_ids = [
+            self._vocab.get(s.encode("utf-8")) for s in specials_sorted
+        ]
+        cache = self._word_cache_b
+        results: list[np.ndarray] = []
+        prev = None  # (occ, uniq, new_words, pending_tiles)
+        with open(path, "rb") as f:
+            for start, end in spans:
+                f.seek(start)
+                data = f.read(end - start)
+                counter = native.NativeCounter(tuple(specials_sorted))
+                occ = counter.add_word_ids_specials(data)
+                uniq = counter.export_words()
+                counter.close()
+                new = [w for w in uniq if w not in cache]
+                pending = self._dispatch_word_rows(new)
+                if prev is not None:
+                    # chunk i-1's tiles computed during our host scan;
+                    # this readback mostly finds them finished
+                    results.append(self._finish_chunk(*prev, sp_ids))
+                prev = (occ, uniq, new, pending)
+        if prev is not None:
+            results.append(self._finish_chunk(*prev, sp_ids))
+        if not results:
+            return np.empty(0, dtype=np.int32)
+        return np.concatenate(results)
+
+    def _finish_chunk(self, occ, uniq, new, pending, sp_ids) -> np.ndarray:
+        cache = self._word_cache_b
+        for enc, word in zip(
+            self._collect_word_rows(len(new), pending), new
+        ):
+            cache[word] = enc
+        return self._occ_to_ids(occ, uniq, sp_ids)
+
+    def _occ_to_ids(self, occ, uniq, sp_ids) -> np.ndarray:
+        """Expand occurrence ids to token ids via the byte-word cache
+        (one flat table + one segment-gather; no per-token Python)."""
+        cache = self._word_cache_b
+        encodings = [cache[w] for w in uniq]
+        encodings.extend(
+            (sid,) if sid is not None else () for sid in sp_ids
+        )
+        n_uniq = len(uniq)
+        lens = np.array([len(e) for e in encodings], dtype=np.int64)
+        starts = np.zeros(len(encodings), dtype=np.int64)
+        if len(encodings):
+            np.cumsum(lens[:-1], out=starts[1:])
+        flat = np.empty(int(lens.sum()), dtype=np.int32)
+        for s, enc in zip(starts.tolist(), encodings):
+            flat[s : s + len(enc)] = enc
+        if not len(occ):
+            return np.empty(0, dtype=np.int32)
+        occ = np.where(occ >= 0, occ, n_uniq + (-occ - 1))
+        length = lens[occ]
+        csum = np.cumsum(length)
+        total = int(csum[-1]) if len(csum) else 0
+        idx = np.arange(total, dtype=np.int64) + np.repeat(
+            starts[occ] - (csum - length), length
+        )
+        return flat[idx]
+
     def _encode_batch_native(self, texts: Sequence[str]) -> list[list[int]]:
         # One native pass per text: unique-word ids per pre-token occurrence,
         # -(1+special_index) per special occurrence (tokenizer dialect,
@@ -313,8 +400,15 @@ class DeviceEncoder:
         of one per batch (each recompile costs seconds; the scan itself is
         ~1 ms per tile).
         """
+        pending = self._dispatch_word_rows(encoded)
+        return self._collect_word_rows(len(encoded), pending)
+
+    def _dispatch_word_rows(self, encoded: list[bytes]):
+        """Pack tiles and dispatch their scans WITHOUT blocking (phase 1);
+        the returned handles feed ``_collect_word_rows``. JAX dispatch is
+        async, so the device executes while the host does other work —
+        ``encode_file`` pre-tokenizes the NEXT chunk in that window."""
         order = sorted(range(len(encoded)), key=lambda i: len(encoded[i]))
-        out: list[tuple[int, ...] | None] = [None] * len(encoded)
 
         # Phase 1: dispatch every tile's scan before reading any result
         # back — JAX dispatch is async, so all tiles compute (and their
@@ -347,7 +441,10 @@ class DeviceEncoder:
             # are < n_syms <= 65535, so 0xFFFF is never a valid id).
             packed = jnp.where(result >= 0, result, 0xFFFF).astype(jnp.uint16)
             pending.append((batch_idx, len(batch_idx), packed))
+        return pending
 
+    def _collect_word_rows(self, n_words: int, pending):
+        out: list[tuple[int, ...] | None] = [None] * n_words
         # Phase 2: ONE consolidated readback. The remote link stalls
         # per transfer (measured: an identical 1 MB copy takes 0.02 s or
         # minutes depending on link state), so tiles are padded to a

@@ -249,13 +249,22 @@ class BBPETokenizer:
         *,
         max_workers: int | None = None,
         chunk_bytes: int = 4 * 1024 * 1024,
+        device: bool = False,
     ):
         """Encode a whole file exactly, parallelized over a process pool.
 
         Files are split only at pretoken-safe boundaries (see
         yabpe_tpu.tok.parallel_encode), so the result is byte-identical to
         ``encode(file_contents)``. Returns an int32 numpy array.
+
+        ``device=True`` runs the unique-word scans on the accelerator
+        instead: chunk i's tiles execute while the host pre-tokenizes
+        chunk i+1, and the device word cache persists across calls.
         """
+        if device and native.available():
+            encoder = self._get_device_encoder(None)
+            if encoder is not None:
+                return encoder.encode_file(path, chunk_bytes=chunk_bytes)
         from yabpe_tpu.tok.parallel_encode import (
             EncoderPool,
             encode_file_parallel,

@@ -389,6 +389,16 @@ def test_multihost_merge_loop_two_processes(tmp_path):
         "digest = hashlib.sha256(\n"
         "    np.ascontiguousarray(merges).tobytes()).hexdigest()\n"
         "print('DIGEST', pid, digest, flush=True)\n"
+        "# the SPECULATIVE epochs across the same real process boundary\n"
+        "# (rollback + cap0-overflow fallback under genuine gRPC)\n"
+        "stats = {}\n"
+        "merges_s = run_sharded_merge_loop(\n"
+        "    wt, base, vocab_cap=400, num_merges=400 - len(base),\n"
+        "    min_frequency=1, data_shards=4, chunk_size=64,\n"
+        "    spec_batch=16, stats_out=stats)\n"
+        "assert np.array_equal(merges_s, merges), 'speculative diverged'\n"
+        "assert stats['spec_epochs'] > 0, stats\n"
+        "print('DIGESTSPEC', pid, digest, flush=True)\n"
     )
     env = dict(os.environ)
     env.pop("PALLAS_AXON_POOL_IPS", None)
@@ -407,13 +417,18 @@ def test_multihost_merge_loop_two_processes(tmp_path):
         for p in range(2)
     ]
     digests = {}
+    spec_digests = {}
     outs = {}
     for p, proc in enumerate(procs):
         out, _ = proc.communicate(timeout=300)
         outs[p] = out.decode()
         assert proc.returncode == 0, outs[p]
         for line in outs[p].splitlines():
-            if line.startswith("DIGEST"):
+            if line.startswith("DIGESTSPEC"):
+                _, pid_s, digest = line.split()
+                spec_digests[int(pid_s)] = digest
+            elif line.startswith("DIGEST"):
                 _, pid_s, digest = line.split()
                 digests[int(pid_s)] = digest
     assert digests == {0: want, 1: want}, outs
+    assert spec_digests == {0: want, 1: want}, outs

@@ -155,6 +155,32 @@ def test_encode_file_parallel_exact(tok, tmp_path):
     assert np.array_equal(got, expected)
 
 
+def test_encode_file_device_exact_and_cache_persists(tok, tmp_path):
+    """encode_file(device=True) (pipelined chunk scan + device tiles) ≡
+    whole-text encode, and the device word cache persists across calls
+    (a second file re-encodes with zero new unique words)."""
+    import numpy as np
+
+    base = (DATA / "sample.txt").read_text(encoding="utf-8")
+    text = (base + "\n<|endoftext|>\n") * 40
+    p = tmp_path / "corpus.txt"
+    p.write_text(text, encoding="utf-8")
+    got = tok.encode_file(p, chunk_bytes=4096, device=True)
+    expected = np.asarray(tok.encode(text), dtype=np.int32)
+    assert np.array_equal(got, expected)
+
+    enc = tok._get_device_encoder(None)
+    cached = len(enc._word_cache_b)
+    assert cached > 0
+    p2 = tmp_path / "corpus2.txt"
+    p2.write_text(text[: len(text) // 2 + 7], encoding="utf-8")
+    got2 = tok.encode_file(p2, chunk_bytes=4096, device=True)
+    expected2 = np.asarray(
+        tok.encode(text[: len(text) // 2 + 7]), dtype=np.int32
+    )
+    assert np.array_equal(got2, expected2)
+
+
 def test_encode_file_encoder_pool_reused(tok, tmp_path):
     """Repeated encode_file calls must reuse the persistent encoder pool
     (warm word caches across calls) and stay byte-identical, including
