@@ -434,7 +434,10 @@ def main() -> None:
         ]
         return lines[-1] if lines else None
 
-    result = attempt({}, timeout_s=1500.0)
+    # Budget covers a cold remote compile of the big HBM-kernel shapes
+    # (measured 100-750 s on a congested tunnel) on top of the ~6 min of
+    # warm measurements (incl. the 1 GB forced-device run).
+    result = attempt({}, timeout_s=2100.0)
     if result is None:
         _log("falling back to CPU backend")
         cpu_env = {"JAX_PLATFORMS": "cpu", "YABPE_BACKEND": "cpu"}

@@ -36,6 +36,9 @@ from yabpe_tpu.core.wordtable import WordTable
 from yabpe_tpu.dist.mesh import make_2d_mesh, make_data_mesh, put_global
 from yabpe_tpu.kernels.pair_count import adjacent_pairs, pair_counts_dense
 from yabpe_tpu.train.state import TrainState, init_state
+from yabpe_tpu.utils.logging import get_logger
+
+_LOG = get_logger(__name__)
 
 
 def _round_up(x: int, m: int) -> int:
@@ -474,6 +477,14 @@ def run_sharded_merge_loop(
         donate_argnums=(0,),
     )
 
+    if spec_batch > 1 and vocab_shards > 1:
+        _LOG.warning(
+            "spec_batch=%d ignored: speculative epochs need the replicated "
+            "frozen count table for communication-free selection, which a "
+            "vocab-sharded ([V/nv, V] per device) mesh does not hold; the "
+            "2D loop runs lockstep (see BBPETrainerConfig docs)",
+            spec_batch,
+        )
     if spec_batch > 1 and vocab_shards == 1:
         return _run_speculative(
             state, specs, mesh, fn,
@@ -557,6 +568,7 @@ def _run_speculative(
         return fns[k]
 
     k = max(2, min(spec_batch, num_merges))
+    k_max = max(k, 16)
     total_epochs = 0
     total_spec_commits = 0
     fallbacks = 0
@@ -571,13 +583,17 @@ def _run_speculative(
         total_epochs += epochs
         total_spec_commits += ptr - start
         if epochs > 0:
-            # Waste-optimal k tracks ~2x the observed commits/epoch: the
-            # k-p mispredicted merges per epoch are pure thrown-away
-            # word-shard work, so k far above the commit rate burns
-            # compute while k at the rate forfeits latency amortization.
-            cpe = (ptr - start) / epochs
-            k = 4
-            while k < 2 * cpe and k < 64:
+            # The k-p mispredicted merges per epoch are thrown-away
+            # word-shard work, so k halves when validation accepts under
+            # ~30% of speculation and recovers (up to the configured
+            # spec_batch) only when epochs nearly saturate. Tracking
+            # "2x commits/epoch" instead was measured WORSE (29.5 s vs
+            # 16.4 s at 2x128 MB): commits/epoch saturates at k, so that
+            # rule doubles k forever and burns the saving in waste.
+            rate = (ptr - start) / (epochs * k)
+            if rate < 0.3 and k > 4:
+                k //= 2
+            elif rate > 0.85 and k < k_max:
                 k *= 2
         if ptr < chunk_end and not bool(state.core.stopped):
             # No-progress epoch: merge ``ptr``'s delta overflowed the

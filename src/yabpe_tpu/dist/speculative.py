@@ -118,18 +118,33 @@ def _spec_epoch(
         est_col = jnp.where(do, est_col, 0)
         est_row = jnp.where(do, est_row, 0)
         safe_c = jnp.clip(new_sym, 0, V - 1)
-        gview = gview.at[iota_flat * V + safe_c].add(est_col)
-        gview = gview.at[iota_flat * V + left].add(-est_col)
-        rc = jax.lax.dynamic_slice(gview, (safe_c * V,), (V,)) + est_row
-        gview = jax.lax.dynamic_update_slice(gview, rc, (safe_c * V,))
-        rb2 = jax.lax.dynamic_slice(gview, (right * V,), (V,)) - est_row
-        gview = jax.lax.dynamic_update_slice(gview, rb2, (right * V,))
-        zidx = jnp.where(do, left * V + right, oob)
-        gview = gview.at[zidx].set(0, mode="drop")
+        # ONE fused scatter-add: a scatter into a fori-carried buffer
+        # copies the whole [V*V] table, so the four line updates and the
+        # (a,b) zero ride a single scatter (five separate ops measured
+        # 23.6 s vs 16.4 s, and a 2D row/column dynamic_update_slice
+        # formulation 18.9 s — strided column DUS is slow on CPU).
+        # Duplicate indices sum, which is the intended semantics; the
+        # (a,b) cell zeroes by adding its own negation.
+        cur_ab = gview[left * V + right]
+        idx = jnp.concatenate(
+            [
+                iota_flat * V + safe_c,          # column c += est_col
+                iota_flat * V + left,            # column a -= est_col
+                safe_c * V + iota_flat,          # row c    += est_row
+                right * V + iota_flat,           # row b    -= est_row
+                jnp.where(do, left * V + right, oob)[None],
+            ]
+        )
+        upd = jnp.concatenate(
+            [est_col, -est_col, est_row, -est_row, (-cur_ab)[None]]
+        )
+        gview = gview.at[idx].add(upd, mode="drop")
         # keep rmv a true upper bound of the adjusted view: column-c adds
-        # may raise any row's max; row c/b rewrites re-bound those rows
+        # may raise any row's max; row c re-bounds from its new contents
         rmv = jnp.maximum(rmv, gview[iota_flat * V + safe_c])
-        rmv = rmv.at[safe_c].max(jnp.max(rc))
+        rmv = rmv.at[safe_c].max(
+            jnp.max(jax.lax.dynamic_slice(gview, (safe_c * V,), (V,)))
+        )
         return core_s, words_s, gview, rmv, do, left, right, new_sym, keys, w
 
     A = jnp.zeros((k,), jnp.int32)

@@ -74,9 +74,20 @@ class BBPETrainerConfig:
         spec_merges_per_round: batch this many merges per collective round
             in the data-sharded loop via speculate/validate epochs
             (dist/speculative.py) — the latency-tolerant mode for
-            multi-host meshes. 0 = auto (16 when running under
-            jax.distributed with >1 processes, off otherwise); 1 disables
-            explicitly. Bit-identical results either way.
+            multi-host meshes. 0 = auto: 16 under jax.distributed with
+            >1 processes, OFF on a single-host mesh. The regime boundary
+            is deliberate: speculation trades redundant replicated
+            compute (mispredicted merges are thrown-away word scans) for
+            fewer collectives, which wins when a collective costs
+            ~100 us-10 ms (DCN / gRPC between hosts) and loses when it
+            costs ~10-20 us (ICI between chips of one host, where the
+            lockstep one-collective-per-merge loop is already
+            latency-cheap). 1 disables explicitly; >1 forces epochs on
+            any 1D data mesh. Bit-identical results either way. Ignored
+            (with a log warning) when vocab_shards > 1: epochs need the
+            REPLICATED frozen count table for communication-free
+            speculative selection, which 2D vocab-sharded meshes do not
+            hold by construction.
     """
 
     vocab_size: int = 32000

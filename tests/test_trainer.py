@@ -220,6 +220,43 @@ def test_train_multiple_files(tmp_path: Path):
     assert two.merges == one.merges
 
 
+def test_auto_speculation_regime_boundary(monkeypatch, tmp_path: Path):
+    """spec_merges_per_round=0 (auto) turns speculative epochs ON only
+    under multi-process jax.distributed: cross-host collectives cost
+    ~100us-10ms so epoch amortization wins there, while a single-host
+    multi-chip mesh rides ICI (~10-20us/collective) where the lockstep
+    loop is already latency-cheap (BBPETrainerConfig docs state this
+    boundary; this pins it)."""
+    from yabpe_tpu.dist import sharded as sharded_mod
+    from yabpe_tpu.train import trainer as trainer_mod
+
+    p = tmp_path / "c.txt"
+    p.write_text("spam ham eggs " * 200, encoding="utf-8")
+    seen = {}
+
+    real = sharded_mod.run_sharded_merge_loop
+
+    def spy(*args, **kw):
+        seen["spec_batch"] = kw.get("spec_batch")
+        return real(*args, **kw)
+
+    monkeypatch.setattr(sharded_mod, "run_sharded_merge_loop", spy)
+    cfg = BBPETrainerConfig(
+        vocab_size=280, min_frequency=1, special_tokens=[],
+        data_shards=2, use_native_loop=False,
+    )
+    # single host (jax.process_count() == 1): auto keeps lockstep
+    BBPETrainer(cfg).train([p])
+    assert seen["spec_batch"] == 0
+
+    # multi-process: auto turns epochs on
+    monkeypatch.setattr(
+        trainer_mod.BBPETrainer, "_multihost", lambda self: True
+    )
+    BBPETrainer(cfg).train([p])
+    assert seen["spec_batch"] == 16
+
+
 def test_numpy_backend_matches_jax():
     sample = DATA / "sample.txt"
     kw = dict(vocab_size=300, min_frequency=1, max_workers=1, special_tokens=[])
