@@ -265,19 +265,29 @@ class BBPETrainer:
         return native.available()
 
     def _should_use_native_loop(self, n_unique: int, num_merges: int) -> bool:
-        """Route latency-bound workloads to the C++ host merge loop.
+        """Route auto-engine single-host runs to the C++ host merge loop.
 
-        The device loop pays a host<->device round trip per merge chunk;
-        for latency-bound problems the native (lazy max-heap) loop wins
-        outright — the measured crossover is far above 32k merges on a
-        583k-unique-word corpus (1 GB), which runs in ~26 s.
+        Re-derived from measured per-step costs (PERFORMANCE.md, round 4):
+        the native lazy-max-heap loop costs ~44 us/step at 381k unique
+        words (100 MB @ 32k) and ~190 us/step at ~1M uniques (1 GB); the
+        HBM Pallas kernel's flat per-step cost is ~290 us with the word
+        table VMEM-resident and ~7.9 ms in words-in-HBM streaming mode.
+        The native/kernel crossover (~2M+ uniques at the VMEM-mode rate)
+        lies beyond the VMEM mode's own admission bound, and the
+        streaming mode never crosses on one chip — so every feasible
+        single-chip auto workload routes to the host on merit. The device
+        engines carry distributed and checkpointed runs (routed earlier,
+        where the host loop has no shard/replay story) and explicit
+        opt-ins (``use_native_loop=False`` / ``use_hbm_kernel=True``).
+
+        An earlier cost-product threshold (``num_merges * 8 * n_unique <
+        3e11``) mis-routed 1 GB-scale corpora to the ~30x-slower device
+        streaming mode once round 4 lifted the kernel's admission caps;
+        the signature keeps ``n_unique``/``num_merges`` for a future
+        multi-chip crossover model.
         """
-        if not self._native_loop_candidate():
-            return False
-        if self.config.use_native_loop is True:
-            return True
-        est = num_merges * max(1000, 8 * n_unique)
-        return est < 300_000_000_000
+        del n_unique, num_merges
+        return self._native_loop_candidate()
 
     def _run_single_device(
         self, table: WordTable, base: Vocab, vocab_cap: int, num_merges: int

@@ -347,6 +347,38 @@ def test_hbm_routing_unit(monkeypatch, small_corpus):
     assert tr._should_use_hbm(wt, 4096)
 
 
+def test_native_routing_large_corpus_stays_on_host():
+    """Auto routing keeps 1 GB-scale problems on the C++ host loop.
+
+    Regression guard: an earlier ``num_merges * 8 * n_unique < 3e11``
+    threshold sent corpora past ~1.2M unique words to the device engines
+    — which became reachable once round 4 lifted the HBM kernel's
+    admission caps, silently trading the ~6-9 s native 1 GB run for the
+    ~260 s streaming-mode kernel. Measured per-step costs (PERFORMANCE.md)
+    say the host wins every feasible single-chip auto workload.
+    """
+    from yabpe_tpu import native
+    from yabpe_tpu import BBPETrainer, BBPETrainerConfig
+
+    if not native.available():
+        pytest.skip("native library unavailable")
+    tr = BBPETrainer(BBPETrainerConfig(vocab_size=32000, min_frequency=2))
+    # the 1 GB bench shape (~1M-4M uniques) and a far larger one
+    assert tr._should_use_native_loop(1_200_000, 31744)
+    assert tr._should_use_native_loop(4_000_000, 31744)
+    # forced-off and distributed runs still leave the host loop
+    tr = BBPETrainer(
+        BBPETrainerConfig(
+            vocab_size=32000, min_frequency=2, use_native_loop=False
+        )
+    )
+    assert not tr._should_use_native_loop(1_200_000, 31744)
+    tr = BBPETrainer(
+        BBPETrainerConfig(vocab_size=32000, min_frequency=2, data_shards=2)
+    )
+    assert not tr._should_use_native_loop(1_200_000, 31744)
+
+
 def _mini_merge_oracle(words, freqs, tokens, num_merges, min_frequency):
     """Direct-from-table reference merge loop (reference semantics:
     /root/reference/src/yet_another_bpe/trainer.py:216-302) for problems
