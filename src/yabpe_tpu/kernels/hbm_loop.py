@@ -738,6 +738,41 @@ def _process_affected(
 ):
     """Apply the merge window-at-a-time and fold the count deltas.
 
+    Thin wrapper binding the visit loop (`_visit_affected`) to the
+    count-table line-bucket flush; the replay/emission kernel
+    (yabpe_tpu.kernels.replay_emit) binds the same visit loop to a
+    cell-log drain instead.
+    """
+    if skip_flush:
+        flush_fn = None
+    else:
+        def flush_fn(k_used):
+            _flush_stage(
+                a, b, c, best_count,
+                counts_ref, row_max_ref, rowwin_ref, rowwin2_ref,
+                stage_l_ref, stage_r_ref, stage_w_ref,
+                addvecs_ref, colacc_ref, colids_v_ref, colmeta_ref,
+                colblk_ref, pendpos_ref, pendany_ref, sems, k_used,
+                V=V, A=A, F=F, iota_v=iota_v,
+            )
+
+    _visit_affected(
+        a, b, c, n_aff,
+        words_ref, flags_ref, rowany_ref, gwin_ref,
+        stage_l_ref, stage_r_ref, stage_w_ref, sems, flush_fn,
+        W=W, NR=NR, WL=WL, A=A, sym32=sym32, empty=empty,
+    )
+
+
+def _visit_affected(
+    a, b, c, n_aff,
+    words_ref, flags_ref, rowany_ref, gwin_ref,
+    stage_l_ref, stage_r_ref, stage_w_ref, sems, flush_fn,
+    *,
+    W: int, NR: int, WL: int, A: int, sym32, empty: int,
+):
+    """Apply the merge window-at-a-time, staging the emitted cells.
+
     One visit processes ALL flagged words of an 8-packed-row window
     (1024 word slots): the merge apply, per-lane-class changed windows,
     and cell emission are vectorized over the whole [8, WL] window — VPU
@@ -745,9 +780,12 @@ def _process_affected(
     frequencies reconstruct per lane directly from the embedded limb
     blocks, and a window is visited at most once per merge step, so there
     are no same-row or same-window write hazards at all. Emitted cells
-    are lane-compacted per window row, staged (extra 128-cell slices when
-    a row's words emit more), and flushed through the row-grouped RMW
-    machinery.
+    are lane-compacted per window row and staged (extra 128-cell slices
+    when a row's words emit more); ``flush_fn(k_used)`` drains the filled
+    stage — the merge-loop kernel folds it into the count table through
+    the row-grouped RMW machinery, the replay/emission kernel appends it
+    to a per-step cell log. ``flush_fn=None`` discards the stage (the
+    flush-ablation profiling variant).
     """
     NB = W - 1
     iota_nr = jax.lax.broadcasted_iota(I32, (NR, 1), 0)
@@ -911,15 +949,8 @@ def _process_affected(
         k_used, done = jax.lax.while_loop(
             fill_cond, fill_body, (jnp.int32(0), processed)
         )
-        if not skip_flush:
-            _flush_stage(
-                a, b, c, best_count,
-                counts_ref, row_max_ref, rowwin_ref, rowwin2_ref,
-                stage_l_ref, stage_r_ref, stage_w_ref,
-                addvecs_ref, colacc_ref, colids_v_ref, colmeta_ref,
-                colblk_ref, pendpos_ref, pendany_ref, sems, k_used,
-                V=V, A=A, F=F, iota_v=iota_v,
-            )
+        if flush_fn is not None:
+            flush_fn(k_used)
         return done
 
     jax.lax.while_loop(outer_cond, outer_body, jnp.int32(0))
