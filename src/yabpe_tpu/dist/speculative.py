@@ -45,6 +45,79 @@ from yabpe_tpu.train.incremental import pack_merge_delta
 from yabpe_tpu.train.state import vocab_update
 
 
+def estimate_followup(
+    gview: jax.Array,
+    rmv: jax.Array,
+    left: jax.Array,
+    right: jax.Array,
+    cnt: jax.Array,
+    new_sym: jax.Array,
+    do: jax.Array,
+    V: int,
+) -> tuple[jax.Array, jax.Array]:
+    """Adjust the frozen count view after a speculative merge.
+
+    Follow-up estimation (speculation-only; validation is the exactness
+    gate, so ANY deterministic replicated estimate is safe). A merge
+    (a,b)->c moves pair mass (x,a)->(x,c) and (b,y)->(c,y) for the a/b
+    occurrences that actually merged. The frozen view scores every pair
+    involving the NEW symbol 0, which systematically breaks the
+    speculative chain right after each merge (measured 3.6 commits per
+    16-merge epoch); estimate the moved fraction from the frozen view
+    instead: the share of a's right-pairings (resp. b's left-pairings)
+    that were (a,b). f32 arithmetic is bit-deterministic across hosts
+    (identical replicated inputs), so all hosts build the SAME view.
+    Shared by the XLA speculative epochs and the HBM-kernel-sharded loop
+    (dist/hbm_sharded.py). Returns the adjusted (view, row-max bound).
+    """
+    oob = V * V
+    iota_flat = jnp.arange(V, dtype=jnp.int32)
+    col_a = gview[iota_flat * V + left]
+    row_a = jax.lax.dynamic_slice(gview, (left * V,), (V,))
+    col_b = gview[iota_flat * V + right]
+    row_b = jax.lax.dynamic_slice(gview, (right * V,), (V,))
+    n_ab = jnp.maximum(cnt, 0)
+    denom_a = jnp.maximum(jnp.maximum(jnp.sum(row_a), n_ab), 1)
+    denom_b = jnp.maximum(jnp.maximum(jnp.sum(col_b), n_ab), 1)
+    frac_a = n_ab.astype(jnp.float32) / denom_a.astype(jnp.float32)
+    frac_b = n_ab.astype(jnp.float32) / denom_b.astype(jnp.float32)
+    est_col = jnp.floor(col_a.astype(jnp.float32) * frac_a)
+    est_row = jnp.floor(row_b.astype(jnp.float32) * frac_b)
+    est_col = jnp.clip(est_col.astype(jnp.int32), 0, col_a)
+    est_row = jnp.clip(est_row.astype(jnp.int32), 0, row_b)
+    est_col = jnp.where(do, est_col, 0)
+    est_row = jnp.where(do, est_row, 0)
+    safe_c = jnp.clip(new_sym, 0, V - 1)
+    # ONE fused scatter-add: a scatter into a fori-carried buffer
+    # copies the whole [V*V] table, so the four line updates and the
+    # (a,b) zero ride a single scatter (five separate ops measured
+    # 23.6 s vs 16.4 s, and a 2D row/column dynamic_update_slice
+    # formulation 18.9 s — strided column DUS is slow on CPU).
+    # Duplicate indices sum, which is the intended semantics; the
+    # (a,b) cell zeroes by adding its own negation.
+    cur_ab = gview[left * V + right]
+    idx = jnp.concatenate(
+        [
+            iota_flat * V + safe_c,          # column c += est_col
+            iota_flat * V + left,            # column a -= est_col
+            safe_c * V + iota_flat,          # row c    += est_row
+            right * V + iota_flat,           # row b    -= est_row
+            jnp.where(do, left * V + right, oob)[None],
+        ]
+    )
+    upd = jnp.concatenate(
+        [est_col, -est_col, est_row, -est_row, (-cur_ab)[None]]
+    )
+    gview = gview.at[idx].add(upd, mode="drop")
+    # keep rmv a true upper bound of the adjusted view: column-c adds
+    # may raise any row's max; row c re-bounds from its new contents
+    rmv = jnp.maximum(rmv, gview[iota_flat * V + safe_c])
+    rmv = rmv.at[safe_c].max(
+        jnp.max(jax.lax.dynamic_slice(gview, (safe_c * V,), (V,)))
+    )
+    return gview, rmv
+
+
 def _spec_epoch(
     state: BigState,
     ptr: jax.Array,
@@ -90,60 +163,8 @@ def _spec_epoch(
         words_s, keys, w = pack_merge_delta(
             words_s, freqs, affected, left, right, new_sym, capj, V
         )
-        # ---- follow-up estimation (speculation-only; validation is the
-        # exactness gate, so ANY deterministic replicated estimate is
-        # safe). A merge (a,b)->c moves pair mass (x,a)->(x,c) and
-        # (b,y)->(c,y) for the a/b occurrences that actually merged.
-        # The frozen view scores every pair involving the NEW symbol 0,
-        # which systematically breaks the speculative chain right after
-        # each merge (measured 3.6 commits per 16-merge epoch); estimate
-        # the moved fraction from the frozen view instead: the share of
-        # a's right-pairings (resp. b's left-pairings) that were (a,b).
-        # f32 arithmetic is bit-deterministic across hosts (identical
-        # replicated inputs), so all hosts build the SAME view.
-        iota_flat = jnp.arange(V, dtype=jnp.int32)
-        col_a = gview[iota_flat * V + left]
-        row_a = jax.lax.dynamic_slice(gview, (left * V,), (V,))
-        col_b = gview[iota_flat * V + right]
-        row_b = jax.lax.dynamic_slice(gview, (right * V,), (V,))
-        n_ab = jnp.maximum(cnt, 0)
-        denom_a = jnp.maximum(jnp.maximum(jnp.sum(row_a), n_ab), 1)
-        denom_b = jnp.maximum(jnp.maximum(jnp.sum(col_b), n_ab), 1)
-        frac_a = n_ab.astype(jnp.float32) / denom_a.astype(jnp.float32)
-        frac_b = n_ab.astype(jnp.float32) / denom_b.astype(jnp.float32)
-        est_col = jnp.floor(col_a.astype(jnp.float32) * frac_a)
-        est_row = jnp.floor(row_b.astype(jnp.float32) * frac_b)
-        est_col = jnp.clip(est_col.astype(jnp.int32), 0, col_a)
-        est_row = jnp.clip(est_row.astype(jnp.int32), 0, row_b)
-        est_col = jnp.where(do, est_col, 0)
-        est_row = jnp.where(do, est_row, 0)
-        safe_c = jnp.clip(new_sym, 0, V - 1)
-        # ONE fused scatter-add: a scatter into a fori-carried buffer
-        # copies the whole [V*V] table, so the four line updates and the
-        # (a,b) zero ride a single scatter (five separate ops measured
-        # 23.6 s vs 16.4 s, and a 2D row/column dynamic_update_slice
-        # formulation 18.9 s — strided column DUS is slow on CPU).
-        # Duplicate indices sum, which is the intended semantics; the
-        # (a,b) cell zeroes by adding its own negation.
-        cur_ab = gview[left * V + right]
-        idx = jnp.concatenate(
-            [
-                iota_flat * V + safe_c,          # column c += est_col
-                iota_flat * V + left,            # column a -= est_col
-                safe_c * V + iota_flat,          # row c    += est_row
-                right * V + iota_flat,           # row b    -= est_row
-                jnp.where(do, left * V + right, oob)[None],
-            ]
-        )
-        upd = jnp.concatenate(
-            [est_col, -est_col, est_row, -est_row, (-cur_ab)[None]]
-        )
-        gview = gview.at[idx].add(upd, mode="drop")
-        # keep rmv a true upper bound of the adjusted view: column-c adds
-        # may raise any row's max; row c re-bounds from its new contents
-        rmv = jnp.maximum(rmv, gview[iota_flat * V + safe_c])
-        rmv = rmv.at[safe_c].max(
-            jnp.max(jax.lax.dynamic_slice(gview, (safe_c * V,), (V,)))
+        gview, rmv = estimate_followup(
+            gview, rmv, left, right, cnt, new_sym, do, V
         )
         return core_s, words_s, gview, rmv, do, left, right, new_sym, keys, w
 
@@ -324,4 +345,4 @@ def sharded_chunk_speculative(
     return state, ptr, epochs
 
 
-__all__ = ["sharded_chunk_speculative"]
+__all__ = ["estimate_followup", "sharded_chunk_speculative"]

@@ -40,10 +40,8 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from yabpe_tpu.kernels.hbm_loop import (
-    I16,
     I32,
     _b2i,
-    _extract_lane,
     _visit_affected,
 )
 
@@ -69,6 +67,7 @@ def _replay_emit_kernel(
     word_width: int,
     num_steps: int,
     cps: int,
+    cps0: int,
     wide: bool,
 ):
     W = word_width
@@ -85,7 +84,7 @@ def _replay_emit_kernel(
     # copy the shard in once (DMA — a value copy would spill registers).
     cpw = pltpu.make_async_copy(words_in, words_ref, sems.at[0])
     cpw.start()
-    for s in range(num_steps * cps // 8):
+    for s in range((cps0 + (num_steps - 1) * cps) // 8):
         lo = s * 8
         log_l_ref[pl.ds(lo, 8), :] = jnp.full((8, 128), -1, I32)
         log_r_ref[pl.ds(lo, 8), :] = jnp.full((8, 128), -1, I32)
@@ -122,8 +121,12 @@ def _replay_emit_kernel(
             rowany_ref[...] = jnp.max(flag, axis=1, keepdims=True)
             n_aff = jnp.sum(flag)
 
-            cursor_ref[0] = j * cps
+            # step 0 of the chain owns cps0 log rows (the epoch's first
+            # merge sees the heaviest delta — the same asymmetry as the
+            # XLA speculative path's cap0), later steps cps rows each
+            cursor_ref[0] = jnp.where(j == 0, 0, cps0 + (j - 1) * cps)
             cursor_ref[1] = 0
+            limit = jnp.where(j == 0, cps0, cps0 + j * cps)
 
             def drain(k_used):
                 # Append the staged cells (k_used rows, always a multiple
@@ -131,7 +134,7 @@ def _replay_emit_kernel(
                 # the step overflowed and write nothing (a partial log
                 # must never validate).
                 base = cursor_ref[0]
-                fits = (base + k_used <= (j + 1) * cps) & (
+                fits = (base + k_used <= limit) & (
                     cursor_ref[1] == 0
                 )
 
@@ -173,7 +176,7 @@ def _replay_emit_kernel(
 
 @partial(
     jax.jit,
-    static_argnames=("word_width", "cps", "wide", "interpret"),
+    static_argnames=("word_width", "cps", "cps0", "wide", "interpret"),
 )
 def replay_emit_chunk(
     words: jax.Array,  # [NR, (W+2)*128] i16 packed shard (hbm_driver.pack_words)
@@ -181,14 +184,18 @@ def replay_emit_chunk(
     *,
     word_width: int,
     cps: int = 64,
+    cps0: int | None = None,
     wide: bool = False,
     interpret: bool = False,
 ) -> tuple[jax.Array, jax.Array, jax.Array, jax.Array, jax.Array]:
     """Apply ``chain`` to the packed shard, logging per-step delta cells.
 
     Returns ``(words', log_l, log_r, log_w, ok)`` — logs are
-    [K*cps, 128] i32 (step j owns rows [j*cps, (j+1)*cps)), ``ok`` is
-    [K] i32 with 0 marking a step whose cells overflowed its capacity.
+    [cps0 + (K-1)*cps, 128] i32 (step 0 owns rows [0, cps0), step j > 0
+    rows [cps0 + (j-1)*cps, cps0 + j*cps)), ``ok`` is [K] i32 with 0
+    marking a step whose cells overflowed its capacity. ``cps0``
+    (default 4*cps) gives the epoch's first merge extra room — it sees
+    the heaviest delta, and a window visit consumes at least 8 log rows.
     Dispatches on whatever device ``words`` lives on (the caller places
     one shard per chip); ``interpret=True`` runs the Pallas interpreter
     (CPU tests and the virtual-mesh dry run).
@@ -196,26 +203,30 @@ def replay_emit_chunk(
     NR, WL = words.shape
     K = chain.shape[0]
     W = word_width
+    if cps0 is None:
+        cps0 = 4 * cps
     if WL != (W + 2) * 128:
         raise ValueError(f"words width {WL} != (W+2)*128 for W={W}")
-    if cps % 8 != 0 or cps <= 0:
-        raise ValueError("cps must be a positive multiple of 8")
+    if cps % 8 != 0 or cps <= 0 or cps0 % 8 != 0 or cps0 <= 0:
+        raise ValueError("cps/cps0 must be positive multiples of 8")
     if NR % 8 != 0:
         raise ValueError("NR must be a multiple of 8")
     A = 256  # stage rows, matching the merge-loop kernel's default
+    rows = cps0 + (K - 1) * cps
 
     kernel = partial(
         _replay_emit_kernel,
         word_width=W,
         num_steps=K,
         cps=cps,
+        cps0=cps0,
         wide=wide,
     )
     out_shape = [
         jax.ShapeDtypeStruct(words.shape, words.dtype),
-        jax.ShapeDtypeStruct((K * cps, 128), jnp.int32),
-        jax.ShapeDtypeStruct((K * cps, 128), jnp.int32),
-        jax.ShapeDtypeStruct((K * cps, 128), jnp.int32),
+        jax.ShapeDtypeStruct((rows, 128), jnp.int32),
+        jax.ShapeDtypeStruct((rows, 128), jnp.int32),
+        jax.ShapeDtypeStruct((rows, 128), jnp.int32),
         jax.ShapeDtypeStruct((K,), jnp.int32),
     ]
     vmem = pl.BlockSpec(memory_space=pltpu.VMEM)

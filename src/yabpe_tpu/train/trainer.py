@@ -185,6 +185,24 @@ class BBPETrainer:
         table = WordTable.from_counter(counter)
 
         if cfg.data_shards and cfg.data_shards > 1:
+            if self._should_use_hbm_sharded(table, vocab_cap):
+                from yabpe_tpu.dist.hbm_sharded import (
+                    run_hbm_sharded_merge_loop,
+                )
+                from yabpe_tpu.utils.jaxsetup import effective_backend
+
+                spec = cfg.spec_merges_per_round
+                merges_ids = run_hbm_sharded_merge_loop(
+                    table,
+                    base,
+                    vocab_cap=vocab_cap,
+                    num_merges=num_merges,
+                    min_frequency=cfg.min_frequency,
+                    data_shards=cfg.data_shards,
+                    spec_batch=spec if spec > 1 else 16,
+                    interpret=effective_backend() != "tpu",
+                )
+                return train_state.merges_to_bytes(merges_ids, base)
             from yabpe_tpu.dist.sharded import run_sharded_merge_loop
 
             resume, saver = self._checkpoint_hooks()
@@ -405,6 +423,40 @@ class BBPETrainer:
             if bool(state.core.stopped):
                 break
         return np.asarray(state.core.merges)
+
+    def _should_use_hbm_sharded(self, table, vocab_cap: int) -> bool:
+        """Route multi-chip runs to the per-chip replay/emission kernel.
+
+        The sharded-HBM loop (dist/hbm_sharded.py) composes the Pallas
+        kernel family with the data-sharded speculative protocol.
+        Explicit opt-in only (``use_hbm_kernel=True`` with
+        ``data_shards > 1``): its dispatch-per-epoch structure is built
+        for locally-attached multi-chip hosts, and this sandbox has one
+        chip — the XLA sharded loop stays the measured multi-chip
+        default. Checkpointed, vocab-sharded and multi-process runs stay
+        on the XLA loop (resume wiring / [V/nv, V] slabs / packed-shard
+        placement respectively).
+        """
+        cfg = self.config
+        if cfg.use_hbm_kernel is not True:
+            return False
+        if cfg.checkpoint_dir or (cfg.vocab_shards or 1) > 1:
+            return False
+        import jax
+
+        if jax.process_count() > 1:
+            return False
+        from yabpe_tpu.dist.hbm_sharded import hbm_sharded_applicable
+
+        if not hbm_sharded_applicable(
+            int(table.words.shape[0]), int(table.words.shape[1]), vocab_cap
+        ):
+            raise ValueError(
+                "use_hbm_kernel=True with data_shards > 1 but the problem "
+                "exceeds the sharded-HBM loop's limits (vocab <= 32768, "
+                "word width <= 64)"
+            )
+        return True
 
     def _should_use_hbm(self, table, vocab_cap: int) -> bool:
         """Route large-vocabulary problems to the HBM-tiled Pallas kernel.

@@ -106,6 +106,7 @@ def _run_case(words_list, freqs, chain, width, cps=64, wide=False):
         jnp.asarray(chain_np),
         word_width=max(width, 2),
         cps=cps,
+        cps0=cps,  # uniform slices keep the oracle indexing simple
         wide=wide,
         interpret=True,
     )
@@ -198,3 +199,47 @@ def test_replay_emit_wide_ids():
     w0 = np.asarray(lw[:64]).ravel()
     live = l0 >= 0
     assert w0[live].sum() == -3  # net: word0 loses one adjacent pair
+
+
+@pytest.mark.chip
+def test_replay_emit_on_chip_matches_interpret():
+    """Mosaic-compiled kernel == interpreter, byte-for-byte (real TPU).
+
+    Interpret mode can hide lowering restrictions; this pins the
+    compiled kernel's words and cell logs to the oracle-pinned
+    interpreter outputs on the real chip.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    if jax.default_backend() == "cpu":
+        pytest.skip("needs a TPU")
+    rng = np.random.default_rng(3)
+    width = 12
+    n = 500
+    words_list = [
+        rng.integers(0, 40, size=rng.integers(1, width + 1)).tolist()
+        for _ in range(n)
+    ]
+    freqs = rng.integers(1, 9, size=n).tolist()
+    table = _mk_table(words_list, freqs, width)
+    packed = pack_words(table)
+    chain_np = np.full((4, 128), -1, np.int32)
+    chain_np[0, :3] = (words_list[0][0], words_list[0][1], 40)
+    chain_np[1, :3] = (3, 5, 41)
+    chain_np[2, :3] = (40, 2, 42)
+
+    from yabpe_tpu.kernels.replay_emit import replay_emit_chunk
+
+    outs = {}
+    for interp in (False, True):
+        outs[interp] = replay_emit_chunk(
+            jnp.asarray(packed), jnp.asarray(chain_np),
+            word_width=width, cps=64, cps0=128, interpret=interp,
+        )
+    for a, b, name in zip(
+        outs[False], outs[True], ["words", "ll", "lr", "lw", "ok"]
+    ):
+        np.testing.assert_array_equal(
+            np.asarray(a), np.asarray(b), err_msg=name
+        )
