@@ -704,6 +704,7 @@ def _hbm_loop_kernel(
                             iota_v=iota_v, iota_wl=iota_wl,
                             iota_nb=iota_nb, sym32=_sym32, empty=EMPTY,
                             skip_flush=bool(ablate & 2),
+                            direct_vmem=not words_in_hbm,
                         )
 
         return 0
@@ -735,6 +736,7 @@ def _process_affected(
     V: int, W: int, NR: int, WL: int, A: int, F: int,
     iota_v, iota_wl, iota_nb, sym32, empty: int,
     skip_flush: bool = False,
+    direct_vmem: bool = False,
 ):
     """Apply the merge window-at-a-time and fold the count deltas.
 
@@ -761,6 +763,7 @@ def _process_affected(
         words_ref, flags_ref, rowany_ref, gwin_ref,
         stage_l_ref, stage_r_ref, stage_w_ref, sems, flush_fn,
         W=W, NR=NR, WL=WL, A=A, sym32=sym32, empty=empty,
+        direct_vmem=direct_vmem,
     )
 
 
@@ -770,6 +773,7 @@ def _visit_affected(
     stage_l_ref, stage_r_ref, stage_w_ref, sems, flush_fn,
     *,
     W: int, NR: int, WL: int, A: int, sym32, empty: int,
+    direct_vmem: bool = False,
 ):
     """Apply the merge window-at-a-time, staging the emitted cells.
 
@@ -838,12 +842,17 @@ def _visit_affected(
             )
             fmask_take = take
 
-            cp = pltpu.make_async_copy(
-                words_ref.at[pl.ds(base8, 8), :], gwin_ref, sems.at[1]
-            )
-            cp.start()
-            cp.wait()
-            win = sym32(gwin_ref[...])  # [8, WL]
+            if direct_vmem:
+                # VMEM-resident word table: read the window straight off
+                # the ref (no DMA round trip per visit)
+                win = sym32(words_ref[pl.ds(base8, 8), :])  # [8, WL]
+            else:
+                cp = pltpu.make_async_copy(
+                    words_ref.at[pl.ds(base8, 8), :], gwin_ref, sems.at[1]
+                )
+                cp.start()
+                cp.wait()
+                win = sym32(gwin_ref[...])  # [8, WL]
 
             fmask = fmask_take  # [8, 128] words processed this visit
             fm_nb = jnp.concatenate([fmask] * NB, axis=1)
@@ -865,11 +874,15 @@ def _visit_affected(
             newwin = jnp.concatenate(
                 [new_syms, win[:, W * 128 :]], axis=1
             ).astype(I16)
-            gwin_ref[...] = newwin
-            cpo = pltpu.make_async_copy(
-                gwin_ref, words_ref.at[pl.ds(base8, 8), :], sems.at[1]
-            )
-            cpo.start()
+            if direct_vmem:
+                words_ref[pl.ds(base8, 8), :] = newwin
+                cpo = None
+            else:
+                gwin_ref[...] = newwin
+                cpo = pltpu.make_async_copy(
+                    gwin_ref, words_ref.at[pl.ds(base8, 8), :], sems.at[1]
+                )
+                cpo.start()
 
             # ---- cells, overlapped with the write-back DMA ----
             # per-(row, lane-class) changed windows, folded per block
@@ -943,7 +956,8 @@ def _visit_affected(
 
                 used = used + jnp.where(sl_needed, 8, 0)
 
-            cpo.wait()
+            if cpo is not None:
+                cpo.wait()
             return (k + used, done + nwin)
 
         k_used, done = jax.lax.while_loop(
@@ -1004,9 +1018,13 @@ def _flush_stage(
         )
 
     # Compact (l, r, w) together with ONE shared rank computation, over a
-    # tier sized to the rows actually staged: the typical 1-visit step
-    # compacts 1k lanes instead of A*128 (rows past ``used`` hold only the
-    # -1/0 reset pattern, so both tiers produce identical results).
+    # tier LADDER sized to the rows actually staged: the typical 1-visit
+    # step compacts 1k lanes instead of A*128, and a 2-4-window step 2-4k
+    # instead of jumping straight to the full tier (rows past ``used``
+    # hold only the -1/0 reset pattern, so every tier produces identical
+    # results). The cell count and the lone off-line (a, b) cell reduce
+    # over the SAME in-tier compacted values, through two spare SMEM
+    # slots — previously two full [A, 128] value reads per flush.
     def compact_tier(T: int):
         cap_t = T * 128
         lg = stage_l_ref[0:T, :].reshape(1, cap_t)
@@ -1019,23 +1037,25 @@ def _flush_stage(
         stage_l_ref[0:T, :] = lgc.reshape(T, 128)
         stage_r_ref[0:T, :] = rgc.reshape(T, 128)
         stage_w_ref[0:T, :] = cwc.reshape(T, 128)
+        colmeta_ref[2 * F + 2] = jnp.sum(_b2i(cwc != 0))
+        colmeta_ref[2 * F + 3] = jnp.sum(
+            jnp.where((lgc == a) & (rgc == b), cwc, 0)
+        )
 
-    @pl.when(used <= 8)
-    def _():
-        compact_tier(8)
+    tiers = [t for t in (8, 16, 32, 64, 128) if t < A] + [A]
+    lower = 0
+    for T in tiers:
+        cond = (used <= T) if lower == 0 else (used > lower) & (used <= T)
 
-    @pl.when(used > 8)
-    def _():
-        compact_tier(A)
+        @pl.when(cond)
+        def _(T=T):
+            compact_tier(T)
 
-    lg_all = stage_l_ref[...]
-    wg_all = stage_w_ref[...]
-    n_cells = jnp.sum(_b2i(wg_all != 0))
+        lower = T
+
+    n_cells = colmeta_ref[2 * F + 2]
     n_chunks = (n_cells + 127) // 128
-
-    # d_ab: the lone off-line cell (one masked reduction over all cells)
-    is_ab_all = (lg_all == a) & (stage_r_ref[...] == b)
-    d_ab = jnp.sum(jnp.where(is_ab_all, wg_all, 0))
+    d_ab = colmeta_ref[2 * F + 3]
 
     # dvec rows: 0 = col a (keyed by l), 1 = col c (keyed by l),
     #            2 = row b (keyed by r), 3 = row c (keyed by r)

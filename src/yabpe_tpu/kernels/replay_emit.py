@@ -166,6 +166,7 @@ def _replay_emit_kernel(
                 words_ref, flags_ref, rowany_ref, gwin_ref,
                 stage_l_ref, stage_r_ref, stage_w_ref, sems, drain,
                 W=W, NR=NR, WL=WL, A=A, sym32=_sym32, empty=EMPTY,
+                direct_vmem=True,
             )
             ok_ref[j] = 1 - cursor_ref[1]
 

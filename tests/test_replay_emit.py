@@ -209,11 +209,12 @@ def test_replay_emit_on_chip_matches_interpret():
     compiled kernel's words and cell logs to the oracle-pinned
     interpreter outputs on the real chip.
     """
-    import jax
     import jax.numpy as jnp
 
-    if jax.default_backend() == "cpu":
-        pytest.skip("needs a TPU")
+    from yabpe_tpu.utils.jaxsetup import effective_backend
+
+    if effective_backend() != "tpu":
+        pytest.skip("needs a TPU (run with YABPE_TEST_TPU=1)")
     rng = np.random.default_rng(3)
     width = 12
     n = 500

@@ -75,7 +75,30 @@ t_hbm = time.perf_counter() - t0
 _, merges = train_state.merges_to_bytes(ids, base)
 assert merges == want[:64], "HBM kernel merges diverge on-chip"
 
-print(f"OK fused={t_fused:.1f}s hbm={t_hbm:.1f}s", flush=True)
+# replay/emission kernel (the sharded-composition building block):
+# compiled-vs-interpreter byte equality on the real chip
+import numpy as np
+import jax.numpy as jnp
+from yabpe_tpu.train.hbm_driver import pack_words
+from yabpe_tpu.kernels.replay_emit import replay_emit_chunk
+
+packed = jnp.asarray(pack_words(wt))
+chain = np.full((4, 128), -1, np.int32)
+for j in range(3):
+    chain[j, :3] = ids[j]
+t0 = time.perf_counter()
+outs = {}
+for interp in (False, True):
+    outs[interp] = replay_emit_chunk(
+        packed, jnp.asarray(chain), word_width=max(wt.width, 2),
+        cps=64, cps0=128, interpret=interp,
+    )
+for x, y in zip(outs[False], outs[True]):
+    assert (np.asarray(x) == np.asarray(y)).all(), "replay_emit diverges"
+t_re = time.perf_counter() - t0
+
+print(f"OK fused={t_fused:.1f}s hbm={t_hbm:.1f}s replay_emit={t_re:.1f}s",
+      flush=True)
 """
 
 
