@@ -1428,7 +1428,7 @@ def hbm_merge_chunk(
     num_merges: int,
     chunk_size: int,
     min_frequency: int,
-    batch_words: int = 256,
+    batch_words: int = 512,
     group_rows: int = 16,
     pending_cols: int = 128,
     interpret: bool = False,

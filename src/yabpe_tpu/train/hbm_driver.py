@@ -46,7 +46,7 @@ _HBM_BUDGET = 12 * 1024**3
 
 def _vmem_estimate(
     nr: int, W: int, V: int, L: int, *, words_in_vmem: bool,
-    A: int = 256, F: int = 128, chunk: int = 2048,
+    A: int = 512, F: int = 128, chunk: int = 2048,
 ) -> int:
     """Kernel VMEM plan in bytes (mirrors hbm_loop's scratch shapes)."""
     total = (
