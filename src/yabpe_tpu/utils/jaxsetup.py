@@ -20,6 +20,12 @@ def setup_compilation_cache() -> None:
     _DONE = True
     if os.environ.get("YABPE_COMPILE_CACHE", "1") == "0":
         return
+    if os.environ.get("JAX_COMPILATION_CACHE_DIR"):
+        # The user pinned a cache dir explicitly (e.g. to isolate a test
+        # run from a concurrent writer — parallel reader/writer on one
+        # cache dir has segfaulted in jax's entry deserialization);
+        # don't override it.
+        return
     cache_dir = os.environ.get("YABPE_COMPILE_CACHE_DIR")
     if not cache_dir:
         # Default to a dot-directory at the repo/checkout root (three levels
