@@ -5,8 +5,8 @@
 set -euo pipefail
 cd "$(dirname "$0")/.."
 
-echo "== pytest (4 tiers, 8-device virtual CPU mesh) =="
-python -m pytest tests/ -q
+echo "== pytest (4 tiers, 8-device virtual CPU mesh, subprocess shards) =="
+bash scripts/test_shards.sh
 
 echo "== native sanitizers (ASan + TSan) =="
 bash scripts/asan_check.sh

@@ -1,0 +1,54 @@
+#!/usr/bin/env bash
+# CPU-tier test suite, sharded into per-group pytest subprocesses.
+#
+# Why subprocesses (VERDICT r4 #1): one long-lived process compiling
+# hundreds of XLA:CPU programs has crashed (SIGSEGV deep inside XLA:CPU
+# compilation) near the end of monolithic full-suite runs, even with the
+# persistent compile cache disabled. Sharding bounds per-process compile
+# count so an accumulated-state crash in one group cannot take out the
+# whole suite's evidence, and any group can be rerun in isolation.
+#
+# Usage:
+#   scripts/test_shards.sh            # full CPU tier (all groups)
+#   scripts/test_shards.sh fast       # skip @slow tests (developer loop)
+#   EXTRA_ARGS="-k pattern" scripts/test_shards.sh
+set -uo pipefail
+cd "$(dirname "$0")/.."
+
+MODE="${1:-full}"
+MARKER="not chip"
+if [[ "$MODE" == "fast" ]]; then
+  MARKER="not chip and not slow"
+fi
+
+declare -a GROUPS_NAMES=(host tokenizer kernels trainer hbm dist)
+declare -A GROUP_FILES=(
+  [host]="tests/test_pretok.py tests/test_native.py tests/test_train_bpe_gpt2.py tests/test_bigvocab.py"
+  [tokenizer]="tests/test_tokenizer.py tests/test_tokenizer_gpt2.py"
+  [kernels]="tests/test_kernels.py tests/test_fused_kernel.py tests/test_replay_emit.py"
+  [trainer]="tests/test_trainer.py tests/test_reference_cross.py"
+  [hbm]="tests/test_hbm_loop.py tests/test_hbm_sharded.py"
+  [dist]="tests/test_dist.py tests/test_tpu_smoke.py"
+)
+
+FAILED=0
+SUMMARY=""
+TOTAL_START=$SECONDS
+for name in "${GROUPS_NAMES[@]}"; do
+  echo "== shard: $name =="
+  START=$SECONDS
+  # shellcheck disable=SC2086
+  python -m pytest ${GROUP_FILES[$name]} -q -m "$MARKER" ${EXTRA_ARGS:-}
+  rc=$?
+  ELAPSED=$((SECONDS - START))
+  if [[ $rc -ne 0 ]]; then
+    FAILED=1
+    SUMMARY+="$name: FAIL (rc=$rc, ${ELAPSED}s)"$'\n'
+  else
+    SUMMARY+="$name: ok (${ELAPSED}s)"$'\n'
+  fi
+done
+
+echo "== shard summary (mode=$MODE, $((SECONDS - TOTAL_START))s total) =="
+printf '%s' "$SUMMARY"
+exit $FAILED

@@ -53,7 +53,10 @@ from yabpe_tpu.core.vocab import Vocab
 from yabpe_tpu.core.wordtable import WordTable
 from yabpe_tpu.dist.mesh import make_data_mesh
 from yabpe_tpu.dist.speculative import estimate_followup
-from yabpe_tpu.kernels.replay_emit import replay_emit_chunk
+from yabpe_tpu.kernels.replay_emit import (
+    max_log_rows,
+    replay_emit_chunk,
+)
 from yabpe_tpu.train.bigvocab import lazy_select
 from yabpe_tpu.train.hbm_driver import pack_words, initial_corner_counts
 from yabpe_tpu.train.state import TrainState, vocab_update
@@ -75,9 +78,28 @@ def _round_up(x: int, m: int) -> int:
 
 
 def hbm_sharded_applicable(
-    n_words: int, word_width: int, vocab_cap: int
+    n_words: int,
+    word_width: int,
+    vocab_cap: int,
+    data_shards: int = 1,
+    processes: int = 1,
 ) -> bool:
-    return vocab_cap <= MAX_VOCAB_CAP and word_width <= MAX_WORD_WIDTH
+    """Mirror of run_hbm_sharded_merge_loop's preconditions.
+
+    Kept in sync with the runtime guards so the trainer's routing
+    predicate never admits a problem the loop would then reject
+    (ADVICE r4): vocab/width caps, single-process placement, and a
+    minimum-capacity VMEM plan for the per-shard replay kernel.
+    """
+    if vocab_cap > MAX_VOCAB_CAP or max(word_width, 2) > MAX_WORD_WIDTH:
+        return False
+    if processes > 1:
+        return False
+    W = max(word_width, 2)
+    S = max(data_shards, 1)
+    nrs = _round_up((n_words + S * 128 - 1) // (S * 128), 8)
+    # the smallest useful log plan: cps0=32 + (k-1) * cps=8 at k=2
+    return max_log_rows(nrs, (W + 2) * 128) >= 40
 
 
 @partial(
@@ -300,8 +322,18 @@ def run_hbm_sharded_merge_loop(
 
     # per-step cell-log capacity: merge 0 of each epoch gets cps0 rows
     # (a window visit costs >= 8 rows, so heavy merges need roughly the
-    # shard's packed-row count), later steps cps rows each
+    # shard's packed-row count), later steps cps rows each. Every log
+    # plan is clamped against the kernel's VMEM budget BEFORE dispatch
+    # (ADVICE r4: the overflow fallback used to quadruple cps0 unchecked).
+    cap_rows = max_log_rows(nrs, (W + 2) * 128)
+    if cap_rows < (k - 1) * cps + 32:
+        raise HbmShardedUnsupported(
+            f"word shard ({nrs} packed rows) leaves no VMEM for the cell "
+            f"logs (max {cap_rows} rows < k*cps plan); raise data_shards "
+            "or use the XLA sharded loop"
+        )
     cps0 = _round_up(min(max(4 * cps, 2 * nrs), 8192), 8)
+    cps0 = min(cps0, cap_rows - (k - 1) * cps)
     validate_fns: dict[tuple[int, int, int], object] = {}
 
     def validate_for(kk: int, cc: int, cc0: int):
@@ -399,29 +431,38 @@ def run_hbm_sharded_merge_loop(
         epochs += 1
         if p == 0 and not bool(core2.stopped):
             # merge 0's cells overflowed cps0 rows on some shard: run
-            # that single merge alone at 4x capacity.
+            # that single merge alone, doubling the log capacity until it
+            # fits or the kernel VMEM plan is exhausted (then the caller
+            # falls back to the XLA sharded loop — never a dead-end error
+            # the user can't act on, ADVICE r4).
             fallbacks += 1
-            cps0_fb = 4 * cps0
+            fb_cap = cap_rows - cps
+            cps0_fb = min(4 * cps0, fb_cap)
             chain1 = chain_np[:2].copy()
             chain1[1, 0] = -1  # k=2 keeps the kernel shape family tiny
-            outs = dispatch(shards, chain1, cps, cps0_fb)
-            counts2, rm2, core2, p = validate_for(2, cps, cps0_fb)(
-                glog([o[1] for o in outs], cps0_fb + cps),
-                glog([o[2] for o in outs], cps0_fb + cps),
-                glog([o[3] for o in outs], cps0_fb + cps),
-                gok([o[4] for o in outs], 2),
-                jnp.asarray(A_np[:2]), jnp.asarray(B_np[:2]),
-                jnp.asarray(C_np[:2]),
-                jnp.asarray(np.array([ok_np[0], 0], np.int32)),
-                state[0], state[1], state[2],
-                jnp.asarray(ptr, jnp.int32),
-            )
-            p = int(p)
-            if p == 0 and not bool(core2.stopped):
-                raise RuntimeError(
-                    "merge delta exceeds the cell-log capacity even at "
-                    f"{cps0_fb} rows; raise cps"
+            while True:
+                outs = dispatch(shards, chain1, cps, cps0_fb)
+                counts2, rm2, core2, p = validate_for(2, cps, cps0_fb)(
+                    glog([o[1] for o in outs], cps0_fb + cps),
+                    glog([o[2] for o in outs], cps0_fb + cps),
+                    glog([o[3] for o in outs], cps0_fb + cps),
+                    gok([o[4] for o in outs], 2),
+                    jnp.asarray(A_np[:2]), jnp.asarray(B_np[:2]),
+                    jnp.asarray(C_np[:2]),
+                    jnp.asarray(np.array([ok_np[0], 0], np.int32)),
+                    state[0], state[1], state[2],
+                    jnp.asarray(ptr, jnp.int32),
                 )
+                p = int(p)
+                if p > 0 or bool(core2.stopped):
+                    break
+                if cps0_fb >= fb_cap:
+                    raise HbmShardedUnsupported(
+                        "merge delta exceeds the largest VMEM-feasible "
+                        f"cell log ({cps0_fb} rows/shard); raise "
+                        "data_shards or use the XLA sharded loop"
+                    )
+                cps0_fb = min(2 * cps0_fb, fb_cap)
             m_active = min(m_active, 1)
         state = (counts2, rm2, core2)
         if p >= m_active and m_active > 0:

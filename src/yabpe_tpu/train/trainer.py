@@ -187,22 +187,32 @@ class BBPETrainer:
         if cfg.data_shards and cfg.data_shards > 1:
             if self._should_use_hbm_sharded(table, vocab_cap):
                 from yabpe_tpu.dist.hbm_sharded import (
+                    HbmShardedUnsupported,
                     run_hbm_sharded_merge_loop,
                 )
                 from yabpe_tpu.utils.jaxsetup import effective_backend
 
                 spec = cfg.spec_merges_per_round
-                merges_ids = run_hbm_sharded_merge_loop(
-                    table,
-                    base,
-                    vocab_cap=vocab_cap,
-                    num_merges=num_merges,
-                    min_frequency=cfg.min_frequency,
-                    data_shards=cfg.data_shards,
-                    spec_batch=spec if spec > 1 else 16,
-                    interpret=effective_backend() != "tpu",
-                )
-                return train_state.merges_to_bytes(merges_ids, base)
+                try:
+                    merges_ids = run_hbm_sharded_merge_loop(
+                        table,
+                        base,
+                        vocab_cap=vocab_cap,
+                        num_merges=num_merges,
+                        min_frequency=cfg.min_frequency,
+                        data_shards=cfg.data_shards,
+                        spec_batch=spec if spec > 1 else 16,
+                        cps=cfg.hbm_sharded_cps,
+                        interpret=effective_backend() != "tpu",
+                    )
+                    return train_state.merges_to_bytes(merges_ids, base)
+                except HbmShardedUnsupported as e:
+                    # Deterministic loop: restarting from scratch on the
+                    # XLA sharded engine yields the identical merge list.
+                    _LOG.warning(
+                        "kernel-sharded loop unsupported mid-run (%s); "
+                        "falling back to the XLA sharded loop", e,
+                    )
             from yabpe_tpu.dist.sharded import run_sharded_merge_loop
 
             resume, saver = self._checkpoint_hooks()
@@ -444,17 +454,21 @@ class BBPETrainer:
             return False
         import jax
 
-        if jax.process_count() > 1:
-            return False
         from yabpe_tpu.dist.hbm_sharded import hbm_sharded_applicable
 
         if not hbm_sharded_applicable(
-            int(table.words.shape[0]), int(table.words.shape[1]), vocab_cap
+            int(table.words.shape[0]),
+            int(table.words.shape[1]),
+            vocab_cap,
+            data_shards=cfg.data_shards,
+            processes=jax.process_count(),
         ):
+            if jax.process_count() > 1:
+                return False  # multi-process runs route to the XLA loop
             raise ValueError(
                 "use_hbm_kernel=True with data_shards > 1 but the problem "
                 "exceeds the sharded-HBM loop's limits (vocab <= 32768, "
-                "word width <= 64)"
+                "word width <= 64, per-shard VMEM plan)"
             )
         return True
 

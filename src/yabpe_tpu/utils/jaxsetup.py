@@ -8,9 +8,36 @@ YABPE_COMPILE_CACHE=0 or redirect with YABPE_COMPILE_CACHE_DIR.
 
 from __future__ import annotations
 
+import hashlib
 import os
 
 _DONE = False
+
+
+def machine_fingerprint() -> str:
+    """Short fingerprint of this host's CPU feature set.
+
+    XLA:CPU AOT artifacts are machine-feature-specific: loading (or even
+    cache-key probing) an entry produced on a host with different CPU
+    features has segfaulted inside jax's compilation-cache get/put in this
+    sandbox, which restarts onto heterogeneous hosts between sessions.
+    Keying the CPU-backend cache directory on the feature flags makes a
+    host switch land on a fresh directory instead of a poisoned one.
+    """
+    try:
+        with open("/proc/cpuinfo", "r", encoding="utf-8", errors="replace") as f:
+            text = f.read()
+        lines = [
+            line
+            for line in text.splitlines()
+            if line.startswith(("flags", "model name", "Features"))
+        ]
+        blob = "\n".join(sorted(set(lines))) or text[:4096]
+    except OSError:
+        import platform
+
+        blob = f"{platform.machine()}-{platform.processor()}"
+    return hashlib.sha256(blob.encode()).hexdigest()[:10]
 
 
 def setup_compilation_cache() -> None:
@@ -37,9 +64,13 @@ def setup_compilation_cache() -> None:
         # written by a remote-compile service may target different host
         # features, and loading them cross-machine risks SIGILL.
         platform = os.environ.get("JAX_PLATFORMS", "default") or "default"
-        cache_dir = os.path.join(
-            root, ".jax_cache", platform.replace(",", "_")
-        )
+        dirname = platform.replace(",", "_")
+        if "cpu" in platform:
+            # CPU AOT artifacts are machine-feature-specific (see
+            # machine_fingerprint); TPU (axon) entries are service-compiled
+            # and portable, so only cpu dirs get the per-host suffix.
+            dirname = f"{dirname}-{machine_fingerprint()}"
+        cache_dir = os.path.join(root, ".jax_cache", dirname)
     try:
         import jax
 
@@ -77,4 +108,9 @@ def compute_devices() -> list:
     return jax.devices(effective_backend())
 
 
-__all__ = ["setup_compilation_cache", "effective_backend", "compute_devices"]
+__all__ = [
+    "setup_compilation_cache",
+    "effective_backend",
+    "compute_devices",
+    "machine_fingerprint",
+]

@@ -27,6 +27,18 @@ if os.environ.get("YABPE_TEST_TPU", "0") != "1":
         ).strip()
     os.environ["YABPE_BACKEND"] = "cpu"
 
+    # Compile-cache hermeticity guard (VERDICT r4 #1). XLA:CPU cache
+    # entries are machine-feature-specific; this sandbox restarts onto
+    # hosts with different CPU features, and a stale shared cache dir has
+    # SEGFAULTED inside jax's compilation_cache get/put mid-suite. Even a
+    # per-host-fingerprinted dir (jaxsetup.machine_fingerprint) draws
+    # "machine type doesn't match" warnings from jax's load path on THIS
+    # host, so the CPU tier runs with the persistent cache OFF entirely —
+    # correctness evidence must not depend on cross-session cache state.
+    # (The TPU tier keeps its cache: axon entries are service-compiled
+    # and portable.) Export YABPE_COMPILE_CACHE=1 to override.
+    os.environ.setdefault("YABPE_COMPILE_CACHE", "0")
+
     import jax
 
     if jax.default_backend() != "cpu":
