@@ -32,10 +32,10 @@ layout. Kernel dispatches are per-addressable-device (the standard
 multi-host JAX pattern — under jax.distributed each process drives its
 own chips); only the exchange/validate step runs under shard_map.
 
-Scope: 1-D data meshes, vocab_cap <= 32768 (flat [V*V] i32 indexing in
-the replicated table; GPT-2-scale multi-chip vocabularies route to the
-2D vocab-sharded XLA loop), word width <= 64. Checkpoint/resume stays
-on the XLA sharded loop.
+Scope: 1-D data meshes, vocab_cap <= 63488 (u16 bit-pattern symbol ids
+in the packed i16 word table past 32768 — GPT-2's 50,257 included; the
+selection/validation state is [V, V] 2D throughout so no flat V*V i32
+index ever forms), word width <= 64.
 """
 
 from __future__ import annotations
@@ -51,21 +51,24 @@ from jax import shard_map
 from yabpe_tpu.core import lexkey
 from yabpe_tpu.core.vocab import Vocab
 from yabpe_tpu.core.wordtable import WordTable
-from yabpe_tpu.dist.mesh import make_data_mesh
-from yabpe_tpu.dist.speculative import estimate_followup
+from yabpe_tpu.dist.mesh import make_data_mesh, put_global
+from yabpe_tpu.dist.speculative import estimate_followup_2d
 from yabpe_tpu.kernels.replay_emit import (
     max_log_rows,
     replay_emit_chunk,
 )
-from yabpe_tpu.train.bigvocab import lazy_select
+from yabpe_tpu.train.bigvocab import lazy_select_2d
 from yabpe_tpu.train.hbm_driver import pack_words, initial_corner_counts
 from yabpe_tpu.train.state import TrainState, vocab_update
 from yabpe_tpu.utils.logging import get_logger
 
 _LOG = get_logger(__name__)
 
-#: Flat [V*V] i32 indexing bound (and the i16 packed-id comfort zone).
-MAX_VOCAB_CAP = 32768
+#: Matches the single-chip HBM kernel: symbol ids are u16 bit patterns
+#: in the packed i16 word table past 32768 (wide mode), and the
+#: selection/validation state is [V, V] 2D throughout (no flat V*V i32
+#: index ever forms), so GPT-2's 50,257 runs kernel-sharded too.
+MAX_VOCAB_CAP = 63488
 MAX_WORD_WIDTH = 64
 
 
@@ -88,12 +91,13 @@ def hbm_sharded_applicable(
 
     Kept in sync with the runtime guards so the trainer's routing
     predicate never admits a problem the loop would then reject
-    (ADVICE r4): vocab/width caps, single-process placement, and a
-    minimum-capacity VMEM plan for the per-shard replay kernel.
+    (ADVICE r4): vocab/width caps, enough shards for every process to
+    hold one, and a minimum-capacity VMEM plan for the per-shard replay
+    kernel.
     """
     if vocab_cap > MAX_VOCAB_CAP or max(word_width, 2) > MAX_WORD_WIDTH:
         return False
-    if processes > 1:
+    if processes > max(data_shards, 1):
         return False
     W = max(word_width, 2)
     S = max(data_shards, 1)
@@ -107,7 +111,7 @@ def hbm_sharded_applicable(
     static_argnames=("k", "vocab_cap", "min_frequency", "num_merges"),
 )
 def _select_chain(
-    counts: jax.Array,   # [V*V] i32 replicated
+    counts: jax.Array,   # [V, V] i32 replicated
     row_max: jax.Array,  # [V] i32
     core: TrainState,
     ptr: jax.Array,
@@ -129,7 +133,7 @@ def _select_chain(
     def body(j, carry):
         gview, rmv, core_s, ok_chain, A, B, C, okf = carry
         in_range = ptr + j < num_merges
-        left, right, cnt, rmv = lazy_select(
+        left, right, cnt, rmv = lazy_select_2d(
             gview, rmv, core_s.lex_rank, V
         )
         frozen_stop = (cnt < max(min_frequency, 1)) | (cnt <= 0)
@@ -138,7 +142,7 @@ def _select_chain(
             core_s, left, right, do, core_s.stopped,
             jnp.minimum(ptr + j, num_merges - 1), V,
         )
-        gview, rmv = estimate_followup(
+        gview, rmv = estimate_followup_2d(
             gview, rmv, left, right, cnt, new_sym, do, V
         )
         A = A.at[j].set(left)
@@ -167,10 +171,18 @@ def _validate_body(
     vocab_cap: int,
     min_frequency: int,
     num_merges: int,
+    replay: bool = False,
 ):
-    """shard_map body: gather cell logs, commit the exact prefix."""
+    """shard_map body: gather cell logs, commit the exact prefix.
+
+    ``replay=True`` is the checkpoint-resume path: (a, b) come from the
+    recorded merges instead of live selection (BPE training is fully
+    deterministic, so the record IS the training state — the same
+    contract as the single-chip kernel's replay mode), and the stop
+    logic is skipped (recorded merges were all committed once already).
+    All count/vocab maintenance is identical.
+    """
     V = vocab_cap
-    oob = V * V
     g_l = jax.lax.all_gather(log_l, "data")  # [S, cps0+(K-1)*cps, 128]
     g_r = jax.lax.all_gather(log_r, "data")
     g_w = jax.lax.all_gather(log_w, "data")
@@ -180,8 +192,14 @@ def _validate_body(
     def val_step(j, carry, lj, rj, wj):
         counts, rm, core_v, p, valid, stopped = carry
         in_range = ptr + j < num_merges
-        a_t, b_t, cnt_t, rm = lazy_select(counts, rm, core_v.lex_rank, V)
-        true_stop = (cnt_t < max(min_frequency, 1)) | (cnt_t <= 0)
+        if replay:
+            a_t, b_t = A[j], B[j]
+            true_stop = jnp.bool_(False)
+        else:
+            a_t, b_t, cnt_t, rm = lazy_select_2d(
+                counts, rm, core_v.lex_rank, V
+            )
+            true_stop = (cnt_t < max(min_frequency, 1)) | (cnt_t <= 0)
         ok_all = (
             jnp.min(jax.lax.dynamic_slice(g_ok, (0, j), (nsh, 1))) > 0
         ) & (ok_spec[j] > 0)
@@ -194,11 +212,16 @@ def _validate_body(
             core_v, a_t, b_t, match, stopped,
             jnp.minimum(ptr + j, num_merges - 1), V,
         )
-        keys = jnp.where(match & (lj >= 0), lj * V + rj, oob)
-        counts = counts.at[keys].add(wj, mode="drop")
-        safe = jnp.minimum(keys, oob - 1)
-        vals = jnp.where(keys < oob, counts[safe], -1)
-        rm = rm.at[safe // V].max(vals)
+        # 2D (row, col) scatter: no flat l * V + r index (i32-safe past
+        # the 46340 flat bound — wide vocabularies included). Dead cells
+        # route to row V and drop.
+        live = match & (lj >= 0)
+        rows_i = jnp.where(live, lj, V)
+        cols_i = jnp.where(live, rj, 0)
+        counts = counts.at[rows_i, cols_i].add(wj, mode="drop")
+        safe_r = jnp.minimum(rows_i, V - 1)
+        vals = jnp.where(live, counts[safe_r, cols_i], -1)
+        rm = rm.at[safe_r].max(vals)
         p = p + match.astype(jnp.int32)
         return counts, rm, core_v, p, match, stopped
 
@@ -245,6 +268,8 @@ def run_hbm_sharded_merge_loop(
     cps: int = 64,
     interpret: bool = False,
     stats_out: dict | None = None,
+    resume: tuple[np.ndarray, int] | None = None,
+    on_chunk=None,
 ) -> np.ndarray:
     """Run the merge loop with a per-chip replay/emission kernel.
 
@@ -253,25 +278,39 @@ def run_hbm_sharded_merge_loop(
     cell-log capacity in 128-cell rows; steps past it fall back to a
     single-merge dispatch at k-fold capacity (and error only if even
     that overflows).
+
+    ``resume`` is a ``(merges_ids, steps_done)`` checkpoint (see
+    yabpe_tpu.train.checkpoint): the first ``steps_done`` recorded
+    merges REPLAY through the same kernel dispatch + validate fold with
+    selection skipped, rebuilding the exact sharded device state before
+    live training continues. ``on_chunk(merges_ids, steps_done)`` fires
+    after every live epoch (the trainer's saver applies its cadence).
     """
     if vocab_cap > MAX_VOCAB_CAP:
         raise HbmShardedUnsupported(
-            f"vocab_cap {vocab_cap} > {MAX_VOCAB_CAP} (flat-i32 table); "
+            f"vocab_cap {vocab_cap} > {MAX_VOCAB_CAP} (u16 packed ids); "
             "use the 2D vocab-sharded XLA loop"
         )
     if max(table.width, 2) > MAX_WORD_WIDTH:
         raise HbmShardedUnsupported(
             f"word width {table.width} > {MAX_WORD_WIDTH}"
         )
-    if jax.process_count() > 1:
-        raise HbmShardedUnsupported(
-            "multi-process placement of packed shards is not wired yet; "
-            "use the XLA sharded loop (spec_batch) across hosts"
-        )
     k = max(2, int(spec_batch))
     S = data_shards
     mesh = make_data_mesh(S)
     devices = list(mesh.devices.reshape(-1))
+    # Multi-process placement: every process holds the same globally
+    # unioned word table (dist/ingest), builds only the shards of ITS
+    # addressable devices, and dispatches the kernel on those; the
+    # exchange/validate shard_map then assembles the per-device cell
+    # logs into one global data-sharded array — the standard multi-host
+    # JAX data flow.
+    proc = jax.process_index()
+    local = [d for d in range(S) if devices[d].process_index == proc]
+    if not local:
+        raise HbmShardedUnsupported(
+            f"process {proc} holds no devices of the {S}-shard data mesh"
+        )
     base_tokens = list(base_vocab.tokens())
     b0 = len(base_tokens)
     V = vocab_cap
@@ -282,8 +321,8 @@ def run_hbm_sharded_merge_loop(
     n = table.words.shape[0]
     nrs = _round_up((n + S * 128 - 1) // (S * 128), 8)  # packed rows/shard
     rows_per = nrs * 128
-    shards = []
-    for d in range(S):
+    shards = []  # aligned with ``local``
+    for d in local:
         lo = min(d * rows_per, n)
         hi = min(lo + rows_per, n)
         words = np.full((rows_per, table.words.shape[1]), -1, np.int32)
@@ -300,13 +339,14 @@ def run_hbm_sharded_merge_loop(
         )
 
     # ---- replicated selection/validation state
+    wide = V > 32768  # u16 bit-pattern symbol ids in the packed table
     corner = initial_corner_counts(table, b0)
     counts_np = np.zeros((V, V), np.int32)
     counts_np[:b0, :b0] = corner
     token_bytes, token_len = lexkey.initial_token_matrix(base_tokens, V, L)
     repl = NamedSharding(mesh, P())
-    counts = jax.device_put(counts_np.reshape(-1), repl)
-    row_max = jax.device_put(counts_np.max(axis=1), repl)
+    counts = put_global(counts_np, repl)
+    row_max = put_global(counts_np.max(axis=1), repl)
     core = TrainState(
         words=jnp.zeros((1, 2), jnp.int32),  # word side lives in the kernel
         freqs=jnp.zeros((1,), jnp.int32),
@@ -318,7 +358,7 @@ def run_hbm_sharded_merge_loop(
         merges=jnp.full((max(num_merges, 1), 3), -1, jnp.int32),
         num_done=jnp.asarray(0, jnp.int32),
     )
-    core = jax.device_put(core, repl)
+    core = put_global(core, jax.tree.map(lambda _: repl, core))
 
     # per-step cell-log capacity: merge 0 of each epoch gets cps0 rows
     # (a window visit costs >= 8 rows, so heavy merges need roughly the
@@ -334,11 +374,11 @@ def run_hbm_sharded_merge_loop(
         )
     cps0 = _round_up(min(max(4 * cps, 2 * nrs), 8192), 8)
     cps0 = min(cps0, cap_rows - (k - 1) * cps)
-    validate_fns: dict[tuple[int, int, int], object] = {}
+    validate_fns: dict[tuple[int, int, int, bool], object] = {}
 
-    def validate_for(kk: int, cc: int, cc0: int):
-        if (kk, cc, cc0) not in validate_fns:
-            validate_fns[(kk, cc, cc0)] = jax.jit(
+    def validate_for(kk: int, cc: int, cc0: int, replay: bool = False):
+        if (kk, cc, cc0, replay) not in validate_fns:
+            validate_fns[(kk, cc, cc0, replay)] = jax.jit(
                 shard_map(
                     partial(
                         _validate_body,
@@ -348,6 +388,7 @@ def run_hbm_sharded_merge_loop(
                         vocab_cap=V,
                         min_frequency=min_frequency,
                         num_merges=num_merges,
+                        replay=replay,
                     ),
                     mesh=mesh,
                     in_specs=(
@@ -361,7 +402,7 @@ def run_hbm_sharded_merge_loop(
                     check_vma=False,
                 )
             )
-        return validate_fns[(kk, cc, cc0)]
+        return validate_fns[(kk, cc, cc0, replay)]
 
     def glog(parts, rows):
         """Assemble per-device [rows, 128] logs into a [S*rows, 128]
@@ -383,15 +424,15 @@ def run_hbm_sharded_merge_loop(
     def dispatch(words_list, chain_np, cc, cc0):
         chain = jnp.asarray(chain_np)
         outs = []
-        for d in range(S):
+        for i, d in enumerate(local):
             outs.append(
                 replay_emit_chunk(
-                    words_list[d],
+                    words_list[i],
                     jax.device_put(chain, devices[d]),
                     word_width=W,
                     cps=cc,
                     cps0=cc0,
-                    wide=False,
+                    wide=wide,
                     interpret=interpret,
                 )
             )
@@ -400,16 +441,37 @@ def run_hbm_sharded_merge_loop(
     ptr = 0
     epochs = 0
     fallbacks = 0
+    replay_n = 0
+    merges_rec = None
+    if resume is not None:
+        merges_rec, steps_done = resume
+        replay_n = max(0, min(int(steps_done), num_merges))
     state = (counts, row_max, core)
     while ptr < num_merges and not bool(state[2].stopped):
-        A, B, C, okf = _select_chain(
-            state[0], state[1], state[2], jnp.asarray(ptr, jnp.int32),
-            k=k, vocab_cap=V, min_frequency=min_frequency,
-            num_merges=num_merges,
-        )
-        A_np, B_np, C_np, ok_np = (
-            np.asarray(A), np.asarray(B), np.asarray(C), np.asarray(okf)
-        )
+        in_replay = ptr < replay_n
+        if in_replay:
+            kk = min(k, replay_n - ptr)
+            A_np = np.zeros((k,), np.int32)
+            B_np = np.zeros((k,), np.int32)
+            C_np = np.zeros((k,), np.int32)
+            A_np[:kk] = merges_rec[ptr : ptr + kk, 0]
+            B_np[:kk] = merges_rec[ptr : ptr + kk, 1]
+            C_np[:kk] = merges_rec[ptr : ptr + kk, 2]
+            ok_np = (np.arange(k) < kk).astype(np.int32)
+            A = jnp.asarray(A_np)
+            B = jnp.asarray(B_np)
+            C = jnp.asarray(C_np)
+            okf = jnp.asarray(ok_np)
+        else:
+            A, B, C, okf = _select_chain(
+                state[0], state[1], state[2], jnp.asarray(ptr, jnp.int32),
+                k=k, vocab_cap=V, min_frequency=min_frequency,
+                num_merges=num_merges,
+            )
+            A_np, B_np, C_np, ok_np = (
+                np.asarray(A), np.asarray(B), np.asarray(C),
+                np.asarray(okf),
+            )
         m_active = int(ok_np.sum())
         chain_np = np.full((k, 128), -1, np.int32)
         chain_np[:, 0] = np.where(ok_np > 0, A_np, -1)
@@ -418,7 +480,7 @@ def run_hbm_sharded_merge_loop(
 
         rows = cps0 + (k - 1) * cps
         outs = dispatch(shards, chain_np, cps, cps0)
-        counts2, rm2, core2, p = validate_for(k, cps, cps0)(
+        counts2, rm2, core2, p = validate_for(k, cps, cps0, in_replay)(
             glog([o[1] for o in outs], rows),
             glog([o[2] for o in outs], rows),
             glog([o[3] for o in outs], rows),
@@ -442,7 +504,9 @@ def run_hbm_sharded_merge_loop(
             chain1[1, 0] = -1  # k=2 keeps the kernel shape family tiny
             while True:
                 outs = dispatch(shards, chain1, cps, cps0_fb)
-                counts2, rm2, core2, p = validate_for(2, cps, cps0_fb)(
+                counts2, rm2, core2, p = validate_for(
+                    2, cps, cps0_fb, in_replay
+                )(
                     glog([o[1] for o in outs], cps0_fb + cps),
                     glog([o[2] for o in outs], cps0_fb + cps),
                     glog([o[3] for o in outs], cps0_fb + cps),
@@ -473,6 +537,8 @@ def run_hbm_sharded_merge_loop(
             outs_c = dispatch(shards, commit, cps, cps0)
             shards = [o[0] for o in outs_c]
         ptr += p
+        if on_chunk is not None and not in_replay:
+            on_chunk(np.asarray(state[2].merges), min(ptr, num_merges))
         if p == 0 and bool(state[2].stopped):
             break
 

@@ -41,7 +41,7 @@ import jax.numpy as jnp
 
 from yabpe_tpu.kernels.merge_apply import apply_pair_merge
 from yabpe_tpu.train.bigvocab import BigState, lazy_select
-from yabpe_tpu.train.incremental import pack_merge_delta
+from yabpe_tpu.train.incremental import _affected_slots, pack_merge_delta
 from yabpe_tpu.train.state import vocab_update
 
 
@@ -118,6 +118,60 @@ def estimate_followup(
     return gview, rmv
 
 
+def estimate_followup_2d(
+    gview: jax.Array,
+    rmv: jax.Array,
+    left: jax.Array,
+    right: jax.Array,
+    cnt: jax.Array,
+    new_sym: jax.Array,
+    do: jax.Array,
+    V: int,
+) -> tuple[jax.Array, jax.Array]:
+    """`estimate_followup` over a [V, V] view.
+
+    Same estimate (and the same bit-deterministic f32 arithmetic), but
+    the scatter uses 2D (row, col) indices so no flat ``x * V + y``
+    index ever forms — safe past the i32 flat bound at GPT-2-scale
+    vocabularies (the wide-vocab kernel-sharded loop, VERDICT r4 #6).
+    """
+    iota = jnp.arange(V, dtype=jnp.int32)
+    col_a = jax.lax.dynamic_slice(gview, (jnp.int32(0), left), (V, 1))[:, 0]
+    row_a = jax.lax.dynamic_slice(gview, (left, jnp.int32(0)), (1, V))[0]
+    col_b = jax.lax.dynamic_slice(gview, (jnp.int32(0), right), (V, 1))[:, 0]
+    row_b = jax.lax.dynamic_slice(gview, (right, jnp.int32(0)), (1, V))[0]
+    n_ab = jnp.maximum(cnt, 0)
+    denom_a = jnp.maximum(jnp.maximum(jnp.sum(row_a), n_ab), 1)
+    denom_b = jnp.maximum(jnp.maximum(jnp.sum(col_b), n_ab), 1)
+    frac_a = n_ab.astype(jnp.float32) / denom_a.astype(jnp.float32)
+    frac_b = n_ab.astype(jnp.float32) / denom_b.astype(jnp.float32)
+    est_col = jnp.floor(col_a.astype(jnp.float32) * frac_a)
+    est_row = jnp.floor(row_b.astype(jnp.float32) * frac_b)
+    est_col = jnp.clip(est_col.astype(jnp.int32), 0, col_a)
+    est_row = jnp.clip(est_row.astype(jnp.int32), 0, row_b)
+    est_col = jnp.where(do, est_col, 0)
+    est_row = jnp.where(do, est_row, 0)
+    safe_c = jnp.clip(new_sym, 0, V - 1)
+    cur_ab = col_b[jnp.minimum(left, V - 1)]
+    full_c = jnp.full((V,), 0, jnp.int32) + safe_c
+    full_a = jnp.zeros((V,), jnp.int32) + left
+    full_b = jnp.zeros((V,), jnp.int32) + right
+    rows_i = jnp.concatenate(
+        [iota, iota, full_c, full_b, jnp.where(do, left, V)[None]]
+    )
+    cols_i = jnp.concatenate([full_c, full_a, iota, iota, right[None]])
+    upd = jnp.concatenate(
+        [est_col, -est_col, est_row, -est_row, (-cur_ab)[None]]
+    )
+    gview = gview.at[rows_i, cols_i].add(upd, mode="drop")
+    col_c = jax.lax.dynamic_slice(gview, (jnp.int32(0), safe_c), (V, 1))[:, 0]
+    rmv = jnp.maximum(rmv, col_c)
+    rmv = rmv.at[safe_c].max(
+        jnp.max(jax.lax.dynamic_slice(gview, (safe_c, jnp.int32(0)), (1, V)))
+    )
+    return gview, rmv
+
+
 def _spec_epoch(
     state: BigState,
     ptr: jax.Array,
@@ -160,20 +214,27 @@ def _spec_epoch(
             core_s, left, right, do, core_s.stopped,
             jnp.minimum(ptr + j, num_merges - 1), V,
         )
+        slots = _affected_slots(affected, capj)
         words_s, keys, w = pack_merge_delta(
-            words_s, freqs, affected, left, right, new_sym, capj, V
+            words_s, freqs, affected, left, right, new_sym, capj, V,
+            slots=slots,
         )
         gview, rmv = estimate_followup(
             gview, rmv, left, right, cnt, new_sym, do, V
         )
-        return core_s, words_s, gview, rmv, do, left, right, new_sym, keys, w
+        return (
+            core_s, words_s, gview, rmv, do, left, right, new_sym, keys,
+            w, slots[0],
+        )
 
     A = jnp.zeros((k,), jnp.int32)
     B = jnp.zeros((k,), jnp.int32)
     C = jnp.zeros((k,), jnp.int32)
 
     # merge 0 unrolled at the large capacity
-    core_s, words_s, gview, rmv, ok0, a0, b0, c0, keys0, w0 = spec_one(
+    (
+        core_s, words_s, gview, rmv, ok0, a0, b0, c0, keys0, w0, idx0
+    ) = spec_one(
         jnp.int32(0), core0, words0, G, state.row_max, jnp.bool_(True),
         cap0,
     )
@@ -183,26 +244,41 @@ def _spec_epoch(
     okf = jnp.zeros((k,), jnp.int32).at[0].set(ok0.astype(jnp.int32))
     keys_r = jnp.full((max(k - 1, 1), LR), oob, jnp.int32)
     w_r = jnp.zeros((max(k - 1, 1), LR), jnp.int32)
+    n_rows = words0.shape[0]
+    # per-merge affected-slot indices, kept for the commit replay (slot
+    # padding == n_rows, dropped by the scatter)
+    idx_r = jnp.full((max(k - 1, 1), cap), n_rows, jnp.int32)
 
     def spec_body(j, carry):
-        core_s, words_s, gview, rmv, ok_chain, A, B, C, okf, keys_r, w_r = (
-            carry
-        )
-        core_s, words_s, gview, rmv, do, left, right, new_sym, keys, w = (
-            spec_one(j, core_s, words_s, gview, rmv, ok_chain, cap)
-        )
+        (
+            core_s, words_s, gview, rmv, ok_chain, A, B, C, okf, keys_r,
+            w_r, idx_r,
+        ) = carry
+        (
+            core_s, words_s, gview, rmv, do, left, right, new_sym, keys,
+            w, idxj,
+        ) = spec_one(j, core_s, words_s, gview, rmv, ok_chain, cap)
         A = A.at[j].set(left)
         B = B.at[j].set(right)
         C = C.at[j].set(new_sym)
         okf = okf.at[j].set(do.astype(jnp.int32))
         keys_r = keys_r.at[j - 1].set(keys)
         w_r = w_r.at[j - 1].set(w)
-        return core_s, words_s, gview, rmv, do, A, B, C, okf, keys_r, w_r
+        idx_r = idx_r.at[j - 1].set(idxj)
+        return (
+            core_s, words_s, gview, rmv, do, A, B, C, okf, keys_r, w_r,
+            idx_r,
+        )
 
     if k > 1:
-        _, words_s, _, _, _, A, B, C, okf, keys_r, w_r = jax.lax.fori_loop(
+        (
+            _, words_s, _, _, _, A, B, C, okf, keys_r, w_r, idx_r
+        ) = jax.lax.fori_loop(
             1, k, spec_body,
-            (core_s, words_s, gview, rmv, ok0, A, B, C, okf, keys_r, w_r),
+            (
+                core_s, words_s, gview, rmv, ok0, A, B, C, okf, keys_r,
+                w_r, idx_r,
+            ),
         )
 
     # ------------------------------------------- exchange (one collective)
@@ -289,11 +365,31 @@ def _spec_epoch(
     )
 
     # --------------------------------------------------------- commit
+    # Partial commits replay ONLY the speculation's saved affected rows
+    # per merge (gather <= cap rows, apply, scatter) instead of a full
+    # [N, W] apply_pair_merge pass per committed merge — the speculation
+    # already found the rows, so the rollback reuses its scan artifacts
+    # (VERDICT r4 #4: k-p mispredictions were not the only waste; the
+    # p-commit rollback was re-scanning the whole shard too).
     def replay(_):
-        def rbody(j, w):
-            return apply_pair_merge(w, A[j], B[j], C[j])
+        def apply_rows(w, idx, aj, bj, cj):
+            safe = jnp.minimum(idx, n_rows - 1)
+            rows = w[safe]
+            new_rows = apply_pair_merge(rows, aj, bj, cj)
+            rows2 = jnp.where((idx < n_rows)[:, None], new_rows, rows)
+            return w.at[idx].set(rows2, mode="drop")
 
-        return jax.lax.fori_loop(0, p, rbody, words0)
+        w1 = jax.lax.cond(
+            p > 0,
+            lambda w: apply_rows(w, idx0, A[0], B[0], C[0]),
+            lambda w: w,
+            words0,
+        )
+
+        def rbody(j, w):
+            return apply_rows(w, idx_r[j - 1], A[j], B[j], C[j])
+
+        return jax.lax.fori_loop(1, p, rbody, w1)
 
     words_final = jax.lax.cond(
         p == jnp.int32(k), lambda _: words_s, replay, operand=None

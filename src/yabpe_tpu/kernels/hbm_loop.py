@@ -225,8 +225,9 @@ def _extract_lane(vec_1v: jax.Array, i: jax.Array) -> jax.Array:
 
 
 def _hbm_loop_kernel(
-    # aliased state (inputs 0..8 -> outputs 0..8)
-    words_in,        # [NR, WL] i16 VMEM
+    # aliased state (inputs 0..9 -> outputs 0..9)
+    words_in,        # [NR, WL] i16       narrow width bucket (W1)
+    words2_in,       # [NR2, WL2] i16     wide bucket (W2; dummy if absent)
     row_max_in,      # [1, V] i32 VMEM
     token_bytes_in,  # [L, V] i32 VMEM (transposed)
     token_len_in,    # [1, V] i32 VMEM
@@ -238,6 +239,7 @@ def _hbm_loop_kernel(
     cfg_ref,         # [1, 4] i32 SMEM: [chunk_start, ...]
     # outputs (aliases, same order as the aliased inputs)
     words_ref,
+    words2_ref,
     row_max_ref,
     token_bytes_ref,
     token_len_ref,
@@ -248,7 +250,10 @@ def _hbm_loop_kernel(
     # scratch
     flags_ref,       # [NR, 128] i32 VMEM
     rowany_ref,      # [NR, 1] i32 VMEM   per-packed-row any-flag summary
-    gwin_ref,        # [8, WL] i16 VMEM   gather window
+    flags2_ref,      # [NR2, 128] i32 VMEM (bucket 2)
+    rowany2_ref,     # [NR2, 1] i32 VMEM
+    gwin_ref,        # [8, WL] i16 VMEM   gather window (bucket 1)
+    gwin2_ref,       # [8, WL2] i16 VMEM  gather window (bucket 2)
     rowwin_ref,      # [8, V] i32 VMEM    count-row window
     rowwin2_ref,     # [8, V] i32 VMEM    second row window (RMW overlap)
     stage_l_ref,     # [A, 128] i32 VMEM  staged cell left syms (-1 empty)
@@ -260,17 +265,25 @@ def _hbm_loop_kernel(
                      #   rows [0,F) = low 12 bits, rows [F,2F) = high part
                      #   (value = hi*4096 + lo; exact for counts to 2^31)
     colids_v_ref,    # [F, 1] i32 VMEM    slot -> column id (-1 empty)
-    colmeta_ref,     # [2F+4] i32 SMEM    ids, per-slot mags, nslots, maxmag
+    colmeta_ref,     # [3F+6] i32 SMEM    [0,F) slot ids; [F,2F) mags;
+                     #   [2F,3F) per-slot max delta row; 3F nslots;
+                     #   3F+1 maxmag; 3F+2 n_cells / 3F+3 d_ab (per
+                     #   flush); 3F+4 slab-presence bitmask; 3F+5 d_ab
+                     #   step accumulator
     colblk_ref,      # [V, 128] i32 VMEM  eviction block window
     pendrow_ref,     # [1, V] i32 VMEM    verify read-through overlay
     pendpos_ref,     # [1, V] i32 VMEM    per-row positive pending bound
     pendany_ref,     # [1, V] i32 VMEM    rows with ANY pending delta
+    pendtmp_ref,     # [2F, 1] f32 VMEM   overlay per-slot limb sums
     scan_a_ref,      # [SG, WL] i16 VMEM  streaming-scan buffer A
     scan_b_ref,      # [SG, WL] i16 VMEM  streaming-scan buffer B
+    scan2_a_ref,     # [SG, WL2] i16 VMEM streaming-scan buffer A (b2)
+    scan2_b_ref,     # [SG, WL2] i16 VMEM streaming-scan buffer B (b2)
     sems,            # DMA semaphores (6,)
     *,
     vocab_cap: int,
     word_width: int,
+    word_width2: int,
     byte_width: int,
     num_merges: int,
     chunk_size: int,
@@ -284,6 +297,15 @@ def _hbm_loop_kernel(
     L = byte_width
     NR = words_in.shape[0]
     WL = (W + 2) * 128
+    # Width-bucketed word table (r5): bucket 1 holds words of <= W
+    # symbols packed at width W, bucket 2 (optional) the rest at W2 > W.
+    # Most words are short, so scanning/streaming/visiting each bucket
+    # at its own width cuts the dominant per-step stream and visit cost
+    # roughly in half at 1 GB scale (PERFORMANCE.md "width-bucketed").
+    HAS2 = word_width2 > 0
+    W2 = max(word_width2, 2)
+    NR2 = words2_in.shape[0]
+    WL2 = (W2 + 2) * 128
     A = stage_l_ref.shape[0]
     F = colacc_ref.shape[0] // 2
     NB = W - 1  # adjacent-pair position blocks
@@ -310,6 +332,10 @@ def _hbm_loop_kernel(
     if not words_in_hbm:
         cpw = pltpu.make_async_copy(words_in, words_ref, sems.at[0])
         cpw.start()
+        # the dummy bucket-2 buffer copies too (an output must not
+        # return uninitialized in interpret mode, where nothing aliases)
+        cpw2 = pltpu.make_async_copy(words2_in, words2_ref, sems.at[5])
+        cpw2.start()
     cpt = pltpu.make_async_copy(token_bytes_in, token_bytes_ref, sems.at[1])
     cpt.start()
     row_max_ref[...] = row_max_in[...]
@@ -319,6 +345,7 @@ def _hbm_loop_kernel(
         scalars_ref[0, k] = scalars_in[0, k]
     if not words_in_hbm:
         cpw.wait()
+        cpw2.wait()
     cpt.wait()
     if copy_in:
         cpk = pltpu.make_async_copy(counts_in, counts_ref, sems.at[0])
@@ -333,6 +360,9 @@ def _hbm_loop_kernel(
             cpw = pltpu.make_async_copy(words_in, words_ref, sems.at[0])
             cpw.start()
             cpw.wait()
+            cpw2 = pltpu.make_async_copy(words2_in, words2_ref, sems.at[0])
+            cpw2.start()
+            cpw2.wait()
 
     iota_v = jax.lax.broadcasted_iota(I32, (1, V), 1)
     iota_l = jax.lax.broadcasted_iota(I32, (1, L), 1)
@@ -385,11 +415,12 @@ def _hbm_loop_kernel(
     def _meta_init(t, _):
         colmeta_ref[t] = -1
         colmeta_ref[F + t] = 0
+        colmeta_ref[2 * F + t] = -1
         return 0
 
     jax.lax.fori_loop(0, F, _meta_init, 0)
-    colmeta_ref[2 * F] = 0
-    colmeta_ref[2 * F + 1] = 0
+    for _mt in range(6):
+        colmeta_ref[3 * F + _mt] = 0
     pendpos_ref[...] = jnp.zeros((1, V), I32)
     pendany_ref[...] = jnp.zeros((1, V), I32)
 
@@ -410,43 +441,58 @@ def _hbm_loop_kernel(
 
                 has_pend = _extract_lane(pendany_ref[...], a) > 0
 
-                @pl.when((colmeta_ref[2 * F] > 0) & has_pend)
+                @pl.when((colmeta_ref[3 * F] > 0) & has_pend)
                 def _():
-                    # slabbed over V so no [2F, V]-sized value stays live
-                    # (whole-array reads spill ~32 MB of registers)
                     sl = _slab_size(V)
-                    pend = jnp.zeros((2 * F, 1), F32)
+                    # Only the slab holding lane ``a`` can contribute to
+                    # the limb sum (io == a is false on every other
+                    # slab), so read ONE [2F, sl] slab instead of all V
+                    # lanes — the full sweep cost ~33 MB of VMEM reads
+                    # per select verify / replay step.
                     for sb in range(V // sl):
                         lo = sb * sl
-                        io = jax.lax.broadcasted_iota(
-                            I32, (1, sl), 1
-                        ) + lo
-                        pend = pend + jnp.sum(
-                            jnp.where(
-                                io == a,
-                                colacc_ref[:, pl.ds(lo, sl)],
-                                0.0,
-                            ),
-                            axis=1,
-                            keepdims=True,
-                        )  # exact: a single lane is picked
+
+                        @pl.when(a // sl == sb)
+                        def _(lo=lo):
+                            io = jax.lax.broadcasted_iota(
+                                I32, (1, sl), 1
+                            ) + lo
+                            pendtmp_ref[...] = jnp.sum(
+                                jnp.where(
+                                    io == a,
+                                    colacc_ref[:, pl.ds(lo, sl)],
+                                    0.0,
+                                ),
+                                axis=1,
+                                keepdims=True,
+                            )  # exact: a single lane is picked
                     # recombine the limbs per slot in i32 (exact: each
                     # limb sum is an integer < 2^24 in f32, and the true
                     # value fits i32)
+                    pend = pendtmp_ref[...]
                     pend_i = (
                         pend[0:F, :].astype(I32)
                         + pend[F : 2 * F, :].astype(I32) * 4096
                     )
+                    # scatter back only slabs that hold a pending column
+                    # id (the bitmask is maintained by col_accumulate);
+                    # pendrow is pre-zeroed so skipped slabs are exact
+                    smask = colmeta_ref[3 * F + 4]
                     for sb in range(V // sl):
                         lo = sb * sl
-                        io = jax.lax.broadcasted_iota(
-                            I32, (1, sl), 1
-                        ) + lo
-                        pendrow_ref[:, pl.ds(lo, sl)] = jnp.sum(
-                            jnp.where(colids_v_ref[...] == io, pend_i, 0),
-                            axis=0,
-                            keepdims=True,
-                        )
+
+                        @pl.when(((smask >> sb) & 1) != 0)
+                        def _(lo=lo):
+                            io = jax.lax.broadcasted_iota(
+                                I32, (1, sl), 1
+                            ) + lo
+                            pendrow_ref[:, pl.ds(lo, sl)] = jnp.sum(
+                                jnp.where(
+                                    colids_v_ref[...] == io, pend_i, 0
+                                ),
+                                axis=0,
+                                keepdims=True,
+                            )
 
             @pl.when(is_replay)
             def _replay_select():
@@ -609,48 +655,57 @@ def _hbm_loop_kernel(
                 # Compares are in i32: i16-vs-broadcast compares trip an
                 # i1 relayout bug in Mosaic.
                 if not (ablate & 1):
-                    def flag_blocks(win, rows):
-                        flag = jnp.zeros((rows, 128), I32)
-                        for k in range(NB):
-                            mk = (
-                                _sym32(win[:, k * 128 : (k + 1) * 128])
-                                == a
-                            ) & (
-                                _sym32(
-                                    win[:, (k + 1) * 128 : (k + 2) * 128]
-                                )
-                                == b
-                            )
-                            flag = flag | _b2i(mk)
-                        return flag
+                    def scan_bucket(
+                        wref, fl_ref, ra_ref, sa_ref, sb_ref, Wb, NRb
+                    ):
+                        """Flag the bucket's words containing (a, b);
+                        returns the bucket's affected-word count."""
+                        NBb = Wb - 1
 
-                    if not words_in_hbm:
-                        flag = flag_blocks(words_ref, NR)
-                        flags_ref[...] = flag
-                        rowany_ref[...] = jnp.max(
-                            flag, axis=1, keepdims=True
-                        )
-                        n_aff = jnp.sum(flag)
-                    else:
+                        def flag_blocks(win, rows):
+                            flag = jnp.zeros((rows, 128), I32)
+                            for k in range(NBb):
+                                mk = (
+                                    _sym32(win[:, k * 128 : (k + 1) * 128])
+                                    == a
+                                ) & (
+                                    _sym32(
+                                        win[
+                                            :,
+                                            (k + 1) * 128 : (k + 2) * 128,
+                                        ]
+                                    )
+                                    == b
+                                )
+                                flag = flag | _b2i(mk)
+                            return flag
+
+                        if not words_in_hbm:
+                            flag = flag_blocks(wref, NRb)
+                            fl_ref[...] = flag
+                            ra_ref[...] = jnp.max(
+                                flag, axis=1, keepdims=True
+                            )
+                            return jnp.sum(flag)
                         # The word table lives in HBM: stream it through
-                        # two [SG, WL] VMEM buffers, scanning group g
+                        # two [SG, WLb] VMEM buffers, scanning group g
                         # while group g+1's DMA is in flight. n_aff
                         # accumulates through an SMEM scalar (values
                         # cannot escape pl.when regions).
-                        SG = scan_a_ref.shape[0]
-                        NG = NR // SG
+                        SG = sa_ref.shape[0]
+                        NG = NRb // SG
 
                         def grp_copy(g, buf_ref, sem):
                             return pltpu.make_async_copy(
-                                words_ref.at[pl.ds(g * SG, SG), :],
+                                wref.at[pl.ds(g * SG, SG), :],
                                 buf_ref,
                                 sem,
                             )
 
                         def scan_grp(g, buf_ref):
                             flag = flag_blocks(buf_ref, SG)
-                            flags_ref[pl.ds(g * SG, SG), :] = flag
-                            rowany_ref[pl.ds(g * SG, SG), :] = jnp.max(
+                            fl_ref[pl.ds(g * SG, SG), :] = flag
+                            ra_ref[pl.ds(g * SG, SG), :] = jnp.max(
                                 flag, axis=1, keepdims=True
                             )
                             scalars_ref[0, _N_AFF] = (
@@ -658,7 +713,7 @@ def _hbm_loop_kernel(
                             )
 
                         scalars_ref[0, _N_AFF] = 0
-                        grp_copy(0, scan_a_ref, sems.at[0]).start()
+                        grp_copy(0, sa_ref, sems.at[0]).start()
 
                         def sbody(g, _):
                             even = (g % 2) == 0
@@ -666,45 +721,82 @@ def _hbm_loop_kernel(
 
                             @pl.when(more & even)
                             def _():
-                                grp_copy(
-                                    g + 1, scan_b_ref, sems.at[5]
-                                ).start()
+                                grp_copy(g + 1, sb_ref, sems.at[5]).start()
 
                             @pl.when(more & jnp.logical_not(even))
                             def _():
-                                grp_copy(
-                                    g + 1, scan_a_ref, sems.at[0]
-                                ).start()
+                                grp_copy(g + 1, sa_ref, sems.at[0]).start()
 
                             @pl.when(even)
                             def _():
-                                grp_copy(g, scan_a_ref, sems.at[0]).wait()
-                                scan_grp(g, scan_a_ref)
+                                grp_copy(g, sa_ref, sems.at[0]).wait()
+                                scan_grp(g, sa_ref)
 
                             @pl.when(jnp.logical_not(even))
                             def _():
-                                grp_copy(g, scan_b_ref, sems.at[5]).wait()
-                                scan_grp(g, scan_b_ref)
+                                grp_copy(g, sb_ref, sems.at[5]).wait()
+                                scan_grp(g, sb_ref)
 
                             return 0
 
                         jax.lax.fori_loop(0, NG, sbody, 0)
-                        n_aff = scalars_ref[0, _N_AFF]
+                        return scalars_ref[0, _N_AFF]
 
+                    # step-level accumulators for the count update
+                    # (flushes only compact+histogram into them; the HBM
+                    # application happens once per step below)
+                    addvecs_ref[0:4, :] = jnp.zeros((4, V), I32)
+                    colmeta_ref[3 * F + 5] = 0
+                    if ablate & 2:
+                        flush_fn = None
+                    else:
+                        def flush_fn(k_used):
+                            _flush_stage(
+                                a, b, c,
+                                stage_l_ref, stage_r_ref, stage_w_ref,
+                                addvecs_ref, colmeta_ref, k_used,
+                                V=V, A=A, F=F,
+                            )
+
+                    # bucket 1 (narrow words), then bucket 2 — each at
+                    # its own static width; the stage/flush are shared
+                    # and all of a step's cells commute
+                    n_aff = scan_bucket(
+                        words_ref, flags_ref, rowany_ref,
+                        scan_a_ref, scan_b_ref, W, NR,
+                    )
                     if not (ablate & 4):
-                        _process_affected(
-                            a, b, c, best_count, n_aff,
-                            words_ref, flags_ref, rowany_ref, counts_ref,
-                            row_max_ref, gwin_ref, rowwin_ref, rowwin2_ref,
+                        _visit_affected(
+                            a, b, c, n_aff,
+                            words_ref, flags_ref, rowany_ref, gwin_ref,
                             stage_l_ref, stage_r_ref, stage_w_ref,
-                            addvecs_ref, colacc_ref, colids_v_ref,
-                            colmeta_ref, colblk_ref, pendpos_ref,
-                            pendany_ref, sems,
-                            V=V, W=W, NR=NR, WL=WL, A=A, F=F,
-                            iota_v=iota_v, iota_wl=iota_wl,
-                            iota_nb=iota_nb, sym32=_sym32, empty=EMPTY,
-                            skip_flush=bool(ablate & 2),
-                            direct_vmem=not words_in_hbm,
+                            sems, flush_fn,
+                            W=W, NR=NR, WL=WL, A=A, sym32=_sym32,
+                            empty=EMPTY, direct_vmem=not words_in_hbm,
+                        )
+                    if HAS2:
+                        n_aff2 = scan_bucket(
+                            words2_ref, flags2_ref, rowany2_ref,
+                            scan2_a_ref, scan2_b_ref, W2, NR2,
+                        )
+                        if not (ablate & 4):
+                            _visit_affected(
+                                a, b, c, n_aff2,
+                                words2_ref, flags2_ref, rowany2_ref,
+                                gwin2_ref,
+                                stage_l_ref, stage_r_ref, stage_w_ref,
+                                sems, flush_fn,
+                                W=W2, NR=NR2, WL=WL2, A=A, sym32=_sym32,
+                                empty=EMPTY, direct_vmem=not words_in_hbm,
+                            )
+                    if not (ablate & 4) and not (ablate & 2):
+                        _apply_line_buckets(
+                            a, b, c, best_count,
+                            counts_ref, row_max_ref, rowwin_ref,
+                            rowwin2_ref, addvecs_ref, colacc_ref,
+                            colids_v_ref, colmeta_ref, colblk_ref,
+                            pendpos_ref, pendany_ref, sems,
+                            V=V, F=F, iota_v=iota_v,
                         )
 
         return 0
@@ -723,48 +815,6 @@ def _hbm_loop_kernel(
     )
     cpm.start()
     cpm.wait()
-
-
-def _process_affected(
-    a, b, c, best_count, n_aff,
-    words_ref, flags_ref, rowany_ref, counts_ref, row_max_ref,
-    gwin_ref, rowwin_ref, rowwin2_ref,
-    stage_l_ref, stage_r_ref, stage_w_ref,
-    addvecs_ref, colacc_ref, colids_v_ref, colmeta_ref, colblk_ref,
-    pendpos_ref, pendany_ref, sems,
-    *,
-    V: int, W: int, NR: int, WL: int, A: int, F: int,
-    iota_v, iota_wl, iota_nb, sym32, empty: int,
-    skip_flush: bool = False,
-    direct_vmem: bool = False,
-):
-    """Apply the merge window-at-a-time and fold the count deltas.
-
-    Thin wrapper binding the visit loop (`_visit_affected`) to the
-    count-table line-bucket flush; the replay/emission kernel
-    (yabpe_tpu.kernels.replay_emit) binds the same visit loop to a
-    cell-log drain instead.
-    """
-    if skip_flush:
-        flush_fn = None
-    else:
-        def flush_fn(k_used):
-            _flush_stage(
-                a, b, c, best_count,
-                counts_ref, row_max_ref, rowwin_ref, rowwin2_ref,
-                stage_l_ref, stage_r_ref, stage_w_ref,
-                addvecs_ref, colacc_ref, colids_v_ref, colmeta_ref,
-                colblk_ref, pendpos_ref, pendany_ref, sems, k_used,
-                V=V, A=A, F=F, iota_v=iota_v,
-            )
-
-    _visit_affected(
-        a, b, c, n_aff,
-        words_ref, flags_ref, rowany_ref, gwin_ref,
-        stage_l_ref, stage_r_ref, stage_w_ref, sems, flush_fn,
-        W=W, NR=NR, WL=WL, A=A, sym32=sym32, empty=empty,
-        direct_vmem=direct_vmem,
-    )
 
 
 def _visit_affected(
@@ -978,45 +1028,24 @@ def _slab_size(V: int) -> int:
 
 
 def _flush_stage(
-    a, b, c, best_count,
-    counts_ref, row_max_ref, rowwin_ref, rowwin2_ref,
+    a, b, c,
     stage_l_ref, stage_r_ref, stage_w_ref,
-    addvecs_ref, colacc_ref, colids_v_ref, colmeta_ref, colblk_ref,
-    pendpos_ref, pendany_ref, sems, used,
+    addvecs_ref, colmeta_ref, used,
     *,
-    V: int, A: int, F: int, iota_v,
+    V: int, A: int, F: int,
 ):
-    """Fold staged cells into the count table via the 4-line structure.
+    """Fold staged cells into the step's line-bucket accumulators.
 
     Merging (a, b) -> c only changes table cells in column a, column c,
     row b, row c, and the (a, b) cell (the VMEM fused kernel's proven
     delta structure); every emitted cell therefore classifies into one of
     those buckets — or is part of an off-line old/new pair whose
-    contributions sum to zero and can be dropped. Rows b, c and the
-    (a, b) cell apply as window RMWs with exact row-max refresh; column
-    deltas accumulate in the pending-column buffer (f32, exact while
-    magnitudes stay under 2^24 — guarded by per-slot magnitude tracking
-    with early eviction) and row_max takes their positive parts as a
-    bound, repaired lazily by the read-through verify.
+    contributions sum to zero and can be dropped. This per-flush pass is
+    pure compute (compact + MXU histogram into ``addvecs``); the HBM/
+    pending-buffer application happens once per step in
+    `_apply_line_buckets`.
     """
     _SLAB = _slab_size(V)
-    # evict-all before this flush could overflow slots or f32 exactness
-    # (per-slot magnitudes; the running max makes the guard one compare)
-    # Per-slot "mag" counts both the number of accumulates into the slot
-    # (each adds >= 1) and a bound on the hi limb's total magnitude (each
-    # accumulate adds <= (best_count >> 12) + 1). mag < 4096 keeps the lo
-    # limb exact (< 4096 accumulates of values < 4096 stays under 2^24)
-    # and the hi limb trivially so.
-    @pl.when(
-        (colmeta_ref[2 * F] >= F - 2)
-        | (colmeta_ref[2 * F + 1] + (best_count >> 12) + 1 > 4095)
-    )
-    def _():
-        _evict_columns(
-            counts_ref, colacc_ref, colids_v_ref, colmeta_ref,
-            colblk_ref, pendpos_ref, pendany_ref, sems, V=V, F=F,
-        )
-
     # Compact (l, r, w) together with ONE shared rank computation, over a
     # tier LADDER sized to the rows actually staged: the typical 1-visit
     # step compacts 1k lanes instead of A*128, and a 2-4-window step 2-4k
@@ -1037,8 +1066,8 @@ def _flush_stage(
         stage_l_ref[0:T, :] = lgc.reshape(T, 128)
         stage_r_ref[0:T, :] = rgc.reshape(T, 128)
         stage_w_ref[0:T, :] = cwc.reshape(T, 128)
-        colmeta_ref[2 * F + 2] = jnp.sum(_b2i(cwc != 0))
-        colmeta_ref[2 * F + 3] = jnp.sum(
+        colmeta_ref[3 * F + 2] = jnp.sum(_b2i(cwc != 0))
+        colmeta_ref[3 * F + 3] = jnp.sum(
             jnp.where((lgc == a) & (rgc == b), cwc, 0)
         )
 
@@ -1053,13 +1082,12 @@ def _flush_stage(
 
         lower = T
 
-    n_cells = colmeta_ref[2 * F + 2]
+    n_cells = colmeta_ref[3 * F + 2]
     n_chunks = (n_cells + 127) // 128
-    d_ab = colmeta_ref[2 * F + 3]
-
-    # dvec rows: 0 = col a (keyed by l), 1 = col c (keyed by l),
+    # dvec rows (accumulated across the step's flushes; zeroed by
+    # _process_affected at step start):
+    #            0 = col a (keyed by l), 1 = col c (keyed by l),
     #            2 = row b (keyed by r), 3 = row c (keyed by r)
-    addvecs_ref[0:4, :] = jnp.zeros((4, V), I32)
 
     def chunk_body(ck, _):
         l_ch = stage_l_ref[pl.ds(ck, 1), :]
@@ -1155,6 +1183,48 @@ def _flush_stage(
         return 0
 
     jax.lax.fori_loop(0, n_chunks, chunk_body, 0)
+
+    colmeta_ref[3 * F + 5] = colmeta_ref[3 * F + 5] + colmeta_ref[3 * F + 3]
+
+
+def _apply_line_buckets(
+    a, b, c, best_count,
+    counts_ref, row_max_ref, rowwin_ref, rowwin2_ref,
+    addvecs_ref, colacc_ref, colids_v_ref, colmeta_ref, colblk_ref,
+    pendpos_ref, pendany_ref, sems,
+    *,
+    V: int, F: int, iota_v,
+):
+    """Apply a step's accumulated line-bucket deltas (once per step).
+
+    Rows b, c and the (a, b) cell apply as window RMWs with exact
+    row-max refresh; column deltas accumulate in the pending-column
+    buffer (f32, exact while magnitudes stay under 2^24 — guarded by
+    per-slot magnitude tracking with early eviction) and row_max takes
+    their positive parts as a bound, repaired lazily by the read-through
+    verify.
+    """
+    d_ab = colmeta_ref[3 * F + 5]
+
+    # evict-all before this step's accumulates could overflow slots or
+    # f32 exactness (per-slot magnitudes; the running max makes the
+    # guard one compare). Per-slot "mag" counts both the number of
+    # accumulates into the slot (each adds >= 1) and a bound on the hi
+    # limb's total magnitude (each accumulate adds
+    # <= (best_count >> 12) + 1 — sound because every count in the table
+    # is <= best_count when the step's merge is selected, so a step's
+    # total per-cell delta is too). mag < 4096 keeps the lo limb exact
+    # (< 4096 accumulates of values < 4096 stays under 2^24) and the hi
+    # limb trivially so.
+    @pl.when(
+        (colmeta_ref[3 * F] >= F - 2)
+        | (colmeta_ref[3 * F + 1] + (best_count >> 12) + 1 > 4095)
+    )
+    def _():
+        _evict_columns(
+            counts_ref, colacc_ref, colids_v_ref, colmeta_ref,
+            colblk_ref, pendpos_ref, pendany_ref, sems, V=V, F=F,
+        )
 
     # ---- rows b, c and the (a, b) cell: window RMWs, exact row_max ----
     # HBM slices must be 8-row aligned, so each row moves as its aligned
@@ -1252,22 +1322,34 @@ def _flush_stage(
 
         @pl.when(jnp.max(jnp.abs(dvec)) > 0)
         def _():
-            nsl = colmeta_ref[2 * F]
+            nsl = colmeta_ref[3 * F]
             match = colids_v_ref[...] == col_id
             have = jnp.max(_b2i(match)) > 0
             slot_existing = _argmax_lanes(
                 _b2i(match).reshape(1, F)
             )
             slot = jnp.where(have, slot_existing, nsl).astype(I32)
-            colmeta_ref[2 * F] = nsl + jnp.where(have, 0, 1)
+            colmeta_ref[3 * F] = nsl + jnp.where(have, 0, 1)
             colmeta_ref[slot] = col_id
             # per-slot mag: one accumulate raises |hi| by at most
             # (best_count >> 12) + 1 and the accumulate count by 1
             oldmag = jnp.where(have, colmeta_ref[F + slot], 0)
             newmag = oldmag + (best_count >> 12) + 1
             colmeta_ref[F + slot] = newmag
-            colmeta_ref[2 * F + 1] = jnp.maximum(
-                colmeta_ref[2 * F + 1], newmag
+            colmeta_ref[3 * F + 1] = jnp.maximum(
+                colmeta_ref[3 * F + 1], newmag
+            )
+            # per-slot max delta row: eviction skips table slabs above
+            # it (the addend there is provably zero), and the slab
+            # presence bitmask lets the overlay scatter skip slabs with
+            # no pending column
+            maxrow = jnp.max(
+                jnp.where(dvec != 0, iota_v, -1)
+            ).astype(I32)
+            oldmax = jnp.where(have, colmeta_ref[2 * F + slot], -1)
+            colmeta_ref[2 * F + slot] = jnp.maximum(oldmax, maxrow)
+            colmeta_ref[3 * F + 4] = colmeta_ref[3 * F + 4] | (
+                1 << (col_id // _slab_size(V))
             )
             colids_v_ref[...] = jnp.where(
                 jax.lax.broadcasted_iota(I32, (F, 1), 0) == slot,
@@ -1309,11 +1391,11 @@ def _evict_columns(
     a valid bound untouched.
     """
 
-    @pl.when(colmeta_ref[2 * F] > 0)
+    @pl.when(colmeta_ref[3 * F] > 0)
     def _():
         # distinct dirty blocks: each handled at the FIRST slot
         # referencing it
-        nsl = colmeta_ref[2 * F]
+        nsl = colmeta_ref[3 * F]
 
         def slot_body(s, _):
             cid = colmeta_ref[s]
@@ -1327,18 +1409,27 @@ def _evict_columns(
 
             @pl.when(jnp.logical_not(seen_before) & (cid >= 0))
             def _():
+                # highest delta row across this block's slots: table
+                # slabs above it have an all-zero addend (every cell's
+                # left symbol is a live id), so their RMW is skipped
+                # outright — during early chunks only the first slab of
+                # each dirty block moves instead of all V rows (r5: the
+                # whole-block RMW was the largest single flush cost,
+                # ~33 MB/step amortized).
+                def bnd(t, acc):
+                    same = (colmeta_ref[t] // 128) == blk
+                    return jnp.maximum(
+                        acc,
+                        jnp.where(same, colmeta_ref[2 * F + t], -1),
+                    )
+
+                bound = jax.lax.fori_loop(0, nsl, bnd, jnp.int32(-1))
                 sel = (
                     (colids_v_ref[...] - blk * 128)
                     == jax.lax.broadcasted_iota(I32, (F, 128), 1)
                 ) & (colids_v_ref[...] >= 0)
                 self_f32 = sel.astype(F32)
                 bb = pl.multiple_of(blk * 128, 128)
-                cp = pltpu.make_async_copy(
-                    counts_ref.at[:, pl.ds(bb, 128)], colblk_ref,
-                    sems.at[2],
-                )
-                cp.start()
-                cp.wait()
                 # slabbed over V (sublane dim of the addend): no [V, 128]
                 # or [F, V] value stays live; one matmul per limb, then
                 # recombined in i32 (each limb exact in f32 under the
@@ -1347,29 +1438,41 @@ def _evict_columns(
                 hi_p = jax.lax.Precision.HIGHEST
                 for sb in range(V // sl):
                     lo = sb * sl
-                    add_lo = jax.lax.dot_general(
-                        colacc_ref[0:F, pl.ds(lo, sl)], self_f32,
-                        dimension_numbers=(((0,), (0,)), ((), ())),
-                        preferred_element_type=F32,
-                        precision=hi_p,
-                    ).astype(I32)  # [sl, 128]
-                    add_hi = jax.lax.dot_general(
-                        colacc_ref[F : 2 * F, pl.ds(lo, sl)], self_f32,
-                        dimension_numbers=(((0,), (0,)), ((), ())),
-                        preferred_element_type=F32,
-                        precision=hi_p,
-                    ).astype(I32)
-                    colblk_ref[pl.ds(lo, sl), :] = (
-                        colblk_ref[pl.ds(lo, sl), :]
-                        + add_hi * 4096
-                        + add_lo
-                    )
-                cpo = pltpu.make_async_copy(
-                    colblk_ref, counts_ref.at[:, pl.ds(bb, 128)],
-                    sems.at[2],
-                )
-                cpo.start()
-                cpo.wait()
+
+                    @pl.when(lo <= bound)
+                    def _(lo=lo):
+                        cp = pltpu.make_async_copy(
+                            counts_ref.at[pl.ds(lo, sl), pl.ds(bb, 128)],
+                            colblk_ref.at[pl.ds(lo, sl), :],
+                            sems.at[2],
+                        )
+                        cp.start()
+                        cp.wait()
+                        add_lo = jax.lax.dot_general(
+                            colacc_ref[0:F, pl.ds(lo, sl)], self_f32,
+                            dimension_numbers=(((0,), (0,)), ((), ())),
+                            preferred_element_type=F32,
+                            precision=hi_p,
+                        ).astype(I32)  # [sl, 128]
+                        add_hi = jax.lax.dot_general(
+                            colacc_ref[F : 2 * F, pl.ds(lo, sl)],
+                            self_f32,
+                            dimension_numbers=(((0,), (0,)), ((), ())),
+                            preferred_element_type=F32,
+                            precision=hi_p,
+                        ).astype(I32)
+                        colblk_ref[pl.ds(lo, sl), :] = (
+                            colblk_ref[pl.ds(lo, sl), :]
+                            + add_hi * 4096
+                            + add_lo
+                        )
+                        cpo = pltpu.make_async_copy(
+                            colblk_ref.at[pl.ds(lo, sl), :],
+                            counts_ref.at[pl.ds(lo, sl), pl.ds(bb, 128)],
+                            sems.at[2],
+                        )
+                        cpo.start()
+                        cpo.wait()
 
             return 0
 
@@ -1384,11 +1487,13 @@ def _evict_columns(
         def reset(t, _):
             colmeta_ref[t] = -1
             colmeta_ref[F + t] = 0
+            colmeta_ref[2 * F + t] = -1
             return 0
 
         jax.lax.fori_loop(0, F, reset, 0)
-        colmeta_ref[2 * F] = 0
-        colmeta_ref[2 * F + 1] = 0
+        colmeta_ref[3 * F] = 0
+        colmeta_ref[3 * F + 1] = 0
+        colmeta_ref[3 * F + 4] = 0
         pendpos_ref[...] = jnp.zeros((1, pendpos_ref.shape[1]), I32)
         pendany_ref[...] = jnp.zeros((1, pendany_ref.shape[1]), I32)
 
@@ -1398,6 +1503,7 @@ def _evict_columns(
     static_argnames=(
         "vocab_cap",
         "word_width",
+        "word_width2",
         "byte_width",
         "num_merges",
         "chunk_size",
@@ -1409,10 +1515,11 @@ def _evict_columns(
         "words_in_hbm",
         "ablate",
     ),
-    donate_argnums=tuple(range(8)),
+    donate_argnums=tuple(range(9)),
 )
 def hbm_merge_chunk(
-    words: jax.Array,        # [NR, (W+2)*128] i16
+    words: jax.Array,        # [NR, (W+2)*128] i16 (narrow bucket)
+    words2: jax.Array,       # [NR2, (W2+2)*128] i16 (wide bucket / dummy)
     row_max: jax.Array,      # [1, V] i32
     token_bytes: jax.Array,  # [V, L] i32
     token_len: jax.Array,    # [1, V] i32
@@ -1424,6 +1531,7 @@ def hbm_merge_chunk(
     *,
     vocab_cap: int,
     word_width: int,
+    word_width2: int = 0,
     byte_width: int,
     num_merges: int,
     chunk_size: int,
@@ -1454,16 +1562,21 @@ def hbm_merge_chunk(
     """
     V = vocab_cap
     NR, WL = words.shape
+    NR2, WL2 = words2.shape
     A = batch_words
     del group_rows  # superseded by the line-bucket flush
     F = pending_cols
     if words_in_hbm and NR % 256 != 0:
         raise ValueError("words_in_hbm requires NR % 256 == 0")
+    if words_in_hbm and word_width2 > 0 and NR2 % 256 != 0:
+        raise ValueError("words_in_hbm requires NR2 % 256 == 0")
     SG = 256 if words_in_hbm else 8  # scan buffers are vestigial in VMEM mode
+    SG2 = SG if word_width2 > 0 else 8
     kernel = partial(
         _hbm_loop_kernel,
         vocab_cap=V,
         word_width=word_width,
+        word_width2=word_width2,
         byte_width=byte_width,
         num_merges=num_merges,
         chunk_size=chunk_size,
@@ -1474,6 +1587,7 @@ def hbm_merge_chunk(
     )
     out_shape = [
         jax.ShapeDtypeStruct(words.shape, words.dtype),
+        jax.ShapeDtypeStruct(words2.shape, words2.dtype),
         jax.ShapeDtypeStruct(row_max.shape, row_max.dtype),
         jax.ShapeDtypeStruct(token_bytes.shape, token_bytes.dtype),
         jax.ShapeDtypeStruct(token_len.shape, token_len.dtype),
@@ -1489,13 +1603,18 @@ def hbm_merge_chunk(
     return pl.pallas_call(
         kernel,
         out_shape=out_shape,
-        in_specs=[wspec, vmem, vmem, vmem, vmem, any_, smem, any_, smem],
-        out_specs=[wspec, vmem, vmem, vmem, vmem, any_, smem, any_],
-        input_output_aliases={i: i for i in range(8)},
+        in_specs=[
+            wspec, wspec, vmem, vmem, vmem, vmem, any_, smem, any_, smem,
+        ],
+        out_specs=[wspec, wspec, vmem, vmem, vmem, vmem, any_, smem, any_],
+        input_output_aliases={i: i for i in range(9)},
         scratch_shapes=[
             pltpu.VMEM((NR, 128), jnp.int32),       # flags
             pltpu.VMEM((NR, 1), jnp.int32),          # per-row any-flag
+            pltpu.VMEM((NR2, 128), jnp.int32),       # flags (bucket 2)
+            pltpu.VMEM((NR2, 1), jnp.int32),         # any-flag (bucket 2)
             pltpu.VMEM((8, WL), jnp.int16),          # gather window
+            pltpu.VMEM((8, WL2), jnp.int16),         # gather win (bucket 2)
             pltpu.VMEM((8, V), jnp.int32),           # count-row window
             pltpu.VMEM((8, V), jnp.int32),           # second row window
             pltpu.VMEM((A, 128), jnp.int32),         # staged cell lefts
@@ -1505,13 +1624,16 @@ def hbm_merge_chunk(
             pltpu.VMEM((chunk_size, 128), jnp.int32),  # record ring
             pltpu.VMEM((2 * F, V), jnp.float32),     # pending cols, 2 limbs
             pltpu.VMEM((F, 1), jnp.int32),           # slot -> column id
-            pltpu.SMEM((2 * F + 4,), jnp.int32),     # slot meta
+            pltpu.SMEM((3 * F + 6,), jnp.int32),     # slot meta
             pltpu.VMEM((V, 128), jnp.int32),         # eviction block
             pltpu.VMEM((1, V), jnp.int32),           # verify overlay
             pltpu.VMEM((1, V), jnp.int32),           # pending-positive
             pltpu.VMEM((1, V), jnp.int32),           # pending-any mask
+            pltpu.VMEM((2 * F, 1), jnp.float32),     # overlay limb sums
             pltpu.VMEM((SG, WL), jnp.int16),         # streaming-scan buf A
             pltpu.VMEM((SG, WL), jnp.int16),         # streaming-scan buf B
+            pltpu.VMEM((SG2, WL2), jnp.int16),       # scan buf A (bucket 2)
+            pltpu.VMEM((SG2, WL2), jnp.int16),       # scan buf B (bucket 2)
             pltpu.SemaphoreType.DMA((6,)),
         ],
         interpret=interpret,
@@ -1524,7 +1646,7 @@ def hbm_merge_chunk(
             vmem_limit_bytes=122 * 1024 * 1024,
         ),
     )(
-        words, row_max, token_bytes, token_len, lex_rank, merges,
+        words, words2, row_max, token_bytes, token_len, lex_rank, merges,
         scalars, counts, chunk_cfg,
     )
 

@@ -47,23 +47,31 @@ _HBM_BUDGET = 12 * 1024**3
 def _vmem_estimate(
     nr: int, W: int, V: int, L: int, *, words_in_vmem: bool,
     A: int = 512, F: int = 128, chunk: int = 2048,
+    nr2: int = 0, W2: int = 0,
 ) -> int:
-    """Kernel VMEM plan in bytes (mirrors hbm_loop's scratch shapes)."""
+    """Kernel VMEM plan in bytes (mirrors hbm_loop's scratch shapes).
+
+    ``nr2``/``W2`` describe the optional wide width bucket (0 = absent);
+    the dummy second-bucket scratches cost a few KB either way.
+    """
     total = (
-        nr * 128 * 4 + nr * 4      # flags + per-row any-flag
-        + 2 * F * V * 4            # pending columns (2 f32 limbs)
+        2 * F * V * 4              # pending columns (2 f32 limbs)
         + V * 128 * 4              # eviction block
         + 2 * L * V * 4            # token_bytes in+out windows
         + 2 * 8 * V * 4            # two count-row windows
         + 7 * V * 4                # addvecs + pendrow/pendpos/pendany
         + 3 * A * 128 * 4          # stage
         + chunk * 128 * 4          # merge-record ring
-        + 8 * (W + 2) * 128 * 2    # gather window
     )
-    if words_in_vmem:
-        total += 2 * nr * (W + 2) * 128 * 2  # aliased in+out windows
-    else:
-        total += 2 * 256 * (W + 2) * 128 * 2  # streaming-scan buffers
+    for nr_b, w_b in ((nr, W), (max(nr2, 8), max(W2, 2))):
+        total += (
+            nr_b * 128 * 4 + nr_b * 4    # flags + per-row any-flag
+            + 8 * (w_b + 2) * 128 * 2    # gather window
+        )
+        if words_in_vmem:
+            total += 2 * nr_b * (w_b + 2) * 128 * 2  # aliased in+out
+        else:
+            total += 2 * 256 * (w_b + 2) * 128 * 2   # streaming buffers
     return total
 
 
@@ -102,6 +110,46 @@ def hbm_applicable(
 ) -> bool:
     """Whether the HBM kernel can run this problem on one chip."""
     return hbm_mode(n_words, word_width, vocab_cap, max_token_len) is not None
+
+
+def bucket_split(table: WordTable) -> tuple[int, np.ndarray] | None:
+    """Pick a narrow-bucket width for the two-bucket word layout.
+
+    Most words are short (English pretokens average ~5 bytes), but the
+    packed table pays the FULL corpus max width per row, so the per-step
+    scan/stream/visit cost scales with the longest word. Splitting the
+    table into a narrow bucket (width w1) and a wide remainder cuts that
+    cost roughly in half at 1 GB scale. Returns ``(w1, narrow_mask)``
+    minimizing total packed row-blocks, or None when the split saves
+    less than ~8% (the second bucket's fixed overhead isn't free).
+    """
+    words = table.words
+    n = words.shape[0]
+    if n == 0:
+        return None
+    lengths = (words >= 0).sum(axis=1)
+    w_full = max(int(lengths.max()), 2)
+    if w_full <= 4:
+        return None
+
+    def nrows(x: int) -> int:
+        return _round_up((x + 127) // 128, 8)
+
+    base_cost = nrows(n) * (w_full + 2)
+    hist = np.bincount(np.minimum(lengths, w_full), minlength=w_full + 1)
+    cum = np.cumsum(hist)
+    best = (base_cost, 0, 0)
+    for w1 in range(2, w_full):
+        n1 = int(cum[w1])
+        if n1 == 0 or n1 == n:
+            continue
+        cost = nrows(n1) * (w1 + 2) + nrows(n - n1) * (w_full + 2)
+        if cost < best[0]:
+            best = (cost, w1, n1)
+    cost, w1, _ = best
+    if w1 == 0 or cost >= 0.92 * base_cost:
+        return None
+    return w1, lengths <= w1
 
 
 def pending_cols_for(V: int) -> int:
@@ -192,33 +240,89 @@ def run_hbm_merge_loop(
 
     base_tokens = list(base_vocab.tokens())
     b0 = len(base_tokens)
-    mode = hbm_mode(
-        int(table.words.shape[0]),
-        int(table.words.shape[1]),
-        vocab_cap,
-        base_vocab.max_token_len(),
-    )
-    if force_words_in_hbm is None:
-        if mode is None:
-            raise HbmKernelUnsupported(
-                "problem exceeds the HBM kernel's limits "
-                "(vocab <= 32768, word width <= 64, HBM capacity)"
-            )
-        words_in_hbm = mode == "hbm"
-    else:
-        words_in_hbm = force_words_in_hbm
+    if vocab_cap > MAX_VOCAB_CAP or max(table.width, 2) > MAX_WORD_WIDTH:
+        raise HbmKernelUnsupported(
+            "problem exceeds the HBM kernel's limits "
+            f"(vocab <= {MAX_VOCAB_CAP}, word width <= {MAX_WORD_WIDTH})"
+        )
     # Round to a 2048 multiple above 2048 so the kernel's one-hot slab is
     # the full 2048 lanes (a ragged V forces a narrow slab and an
     # unrolled slab loop).
     V = _round_up(max(vocab_cap, b0), 2048 if vocab_cap > 2048 else 128)
-    W = max(table.width, 2)
     L = _round_up(max(table.width, base_vocab.max_token_len(), 2), 8)
     chunk = max(1, min(chunk_size, num_merges))
     # The per-chunk merge-record ring flushes [chunk, 4] rows at a time;
     # size the record buffer to a whole number of chunks.
     M = _round_up(max(num_merges, 1), chunk)
 
-    packed = pack_words(table, row_multiple=256 if words_in_hbm else 8)
+    # ---- width buckets (r5): narrow words packed at their own width
+    split = bucket_split(table)
+    if split is not None:
+        w1, mask = split
+        lengths = (table.words >= 0).sum(axis=1)
+        w2 = max(int(lengths.max(initial=0)), 2)
+        t_n = WordTable(
+            words=np.ascontiguousarray(table.words[mask][:, :w1]),
+            freqs=np.ascontiguousarray(table.freqs[mask]),
+            num_words=int(mask.sum()),
+            max_len=w1,
+        )
+        t_w = WordTable(
+            words=np.ascontiguousarray(table.words[~mask][:, :w2]),
+            freqs=np.ascontiguousarray(table.freqs[~mask]),
+            num_words=int((~mask).sum()),
+            max_len=w2,
+        )
+    else:
+        t_n, t_w = table, None
+    W = max(t_n.width, 2)
+    W2 = max(t_w.width, 2) if t_w is not None else 0
+
+    def _rows(t: WordTable | None, mult: int) -> int:
+        if t is None:
+            return 0
+        return _round_up((t.words.shape[0] + 127) // 128, mult)
+
+    F = pending_cols_for(V)
+    if force_words_in_hbm is None:
+        fits_vmem = (
+            _vmem_estimate(
+                _rows(t_n, 8), W, V, L, words_in_vmem=True, F=F,
+                nr2=_rows(t_w, 8), W2=W2,
+            )
+            <= _VMEM_BUDGET
+        )
+        if fits_vmem:
+            words_in_hbm = False
+        else:
+            nr1_h, nr2_h = _rows(t_n, 256), _rows(t_w, 256)
+            fits_stream = (
+                _vmem_estimate(
+                    nr1_h, W, V, L, words_in_vmem=False, F=F,
+                    nr2=nr2_h, W2=W2,
+                )
+                <= _VMEM_BUDGET
+            )
+            hbm_bytes = (
+                nr1_h * (W + 2) * 128 * 2
+                + nr2_h * (W2 + 2) * 128 * 2
+                + 4 * V * V
+            )
+            if not fits_stream or hbm_bytes > _HBM_BUDGET:
+                raise HbmKernelUnsupported(
+                    "problem exceeds the HBM kernel's capacity "
+                    "(VMEM plan / HBM budget)"
+                )
+            words_in_hbm = True
+    else:
+        words_in_hbm = force_words_in_hbm
+
+    mult = 256 if words_in_hbm else 8
+    packed = pack_words(t_n, row_multiple=mult)
+    if t_w is not None:
+        packed2 = pack_words(t_w, row_multiple=mult)
+    else:
+        packed2 = np.full((8, 4 * 128), -1, np.int16)
     # Pair counts up to 2^31 are exact: the kernel's pending-column
     # accumulator stores two 12-bit-split f32 limbs per slot.
     corner_np = initial_corner_counts(table, b0)
@@ -245,6 +349,7 @@ def run_hbm_merge_loop(
 
     state = (
         jnp.asarray(packed),
+        jnp.asarray(packed2),
         jnp.asarray(row_max_np),
         jnp.asarray(np.ascontiguousarray(token_bytes.T)),  # [L, V]
         jnp.asarray(token_len.reshape(1, V)),
@@ -273,23 +378,24 @@ def run_hbm_merge_loop(
             cfg,
             vocab_cap=V,
             word_width=W,
+            word_width2=W2,
             byte_width=L,
             num_merges=num_merges,
             chunk_size=chunk,
             min_frequency=min_frequency,
-            pending_cols=pending_cols_for(V),
+            pending_cols=F,
             interpret=interpret,
             words_in_hbm=words_in_hbm,
             ablate=ablate,
         )
         start += chunk
-        scal = np.asarray(state[6])
+        scal = np.asarray(state[7])
         if on_chunk is not None:
-            merges_now = np.asarray(slice_ids(state[5]))
+            merges_now = np.asarray(slice_ids(state[6]))
             on_chunk(merges_now, min(start, num_merges))
         if scal[0, 1] != 0:  # stopped
             break
-    return np.asarray(slice_ids(state[5]))
+    return np.asarray(slice_ids(state[6]))
 
 
 __all__ = [

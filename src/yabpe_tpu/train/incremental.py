@@ -127,6 +127,7 @@ def pack_merge_delta(
     new_sym: jax.Array,
     cap: int,
     vocab_cap: int,
+    slots: tuple[jax.Array, jax.Array] | None = None,
 ) -> tuple[jax.Array, jax.Array, jax.Array]:
     """One merge's sparse count delta at a fixed buffer capacity.
 
@@ -139,10 +140,15 @@ def pack_merge_delta(
     delta is a no-op wherever the buffer is not full. Exact only when the
     affected rows actually fit ``cap``.
 
+    ``slots`` lets the caller pass a precomputed ``_affected_slots``
+    result (the speculative epochs keep it for the cheap commit replay).
+
     Returns (new_words, keys [cap*2*(W-1)], weights).
     """
     n = words.shape[0]
-    idx_buf, val_buf = _affected_slots(affected, cap)
+    idx_buf, val_buf = (
+        slots if slots is not None else _affected_slots(affected, cap)
+    )
     safe_idx = jnp.minimum(idx_buf, n - 1)
     rows = words[safe_idx]
     f = jnp.where(val_buf, freqs[safe_idx], 0)

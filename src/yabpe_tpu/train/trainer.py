@@ -193,6 +193,7 @@ class BBPETrainer:
                 from yabpe_tpu.utils.jaxsetup import effective_backend
 
                 spec = cfg.spec_merges_per_round
+                resume, saver = self._checkpoint_hooks()
                 try:
                     merges_ids = run_hbm_sharded_merge_loop(
                         table,
@@ -204,6 +205,8 @@ class BBPETrainer:
                         spec_batch=spec if spec > 1 else 16,
                         cps=cfg.hbm_sharded_cps,
                         interpret=effective_backend() != "tpu",
+                        resume=resume,
+                        on_chunk=saver,
                     )
                     return train_state.merges_to_bytes(merges_ids, base)
                 except HbmShardedUnsupported as e:
@@ -443,14 +446,15 @@ class BBPETrainer:
         ``data_shards > 1``): its dispatch-per-epoch structure is built
         for locally-attached multi-chip hosts, and this sandbox has one
         chip — the XLA sharded loop stays the measured multi-chip
-        default. Checkpointed, vocab-sharded and multi-process runs stay
-        on the XLA loop (resume wiring / [V/nv, V] slabs / packed-shard
-        placement respectively).
+        default. Vocab-sharded runs stay on the XLA loop ([V/nv, V]
+        slabs); checkpointed and multi-process runs are supported here
+        since round 5 (kernel-level replay resume / per-process shard
+        placement).
         """
         cfg = self.config
         if cfg.use_hbm_kernel is not True:
             return False
-        if cfg.checkpoint_dir or (cfg.vocab_shards or 1) > 1:
+        if (cfg.vocab_shards or 1) > 1:
             return False
         import jax
 
@@ -463,11 +467,11 @@ class BBPETrainer:
             data_shards=cfg.data_shards,
             processes=jax.process_count(),
         ):
-            if jax.process_count() > 1:
-                return False  # multi-process runs route to the XLA loop
+            if jax.process_count() > cfg.data_shards:
+                return False  # not enough shards to span the processes
             raise ValueError(
                 "use_hbm_kernel=True with data_shards > 1 but the problem "
-                "exceeds the sharded-HBM loop's limits (vocab <= 32768, "
+                "exceeds the sharded-HBM loop's limits (vocab <= 63488, "
                 "word width <= 64, per-shard VMEM plan)"
             )
         return True

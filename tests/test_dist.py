@@ -399,6 +399,20 @@ def test_multihost_merge_loop_two_processes(tmp_path):
         "assert np.array_equal(merges_s, merges), 'speculative diverged'\n"
         "assert stats['spec_epochs'] > 0, stats\n"
         "print('DIGESTSPEC', pid, digest, flush=True)\n"
+        "# the KERNEL-sharded loop across the same real process boundary\n"
+        "# (per-process packed-shard placement + cell-log exchange under\n"
+        "# genuine gRPC — VERDICT r4 #5)\n"
+        "from yabpe_tpu.dist.hbm_sharded import run_hbm_sharded_merge_loop\n"
+        "hstats = {}\n"
+        "merges_h = run_hbm_sharded_merge_loop(\n"
+        "    wt, base, vocab_cap=400, num_merges=400 - len(base),\n"
+        "    min_frequency=1, data_shards=4, spec_batch=8,\n"
+        "    interpret=True, stats_out=hstats)\n"
+        "assert np.array_equal(merges_h, merges), 'kernel-sharded diverged'\n"
+        "assert hstats['merges_done'] == 400 - len(base), hstats\n"
+        "print('DIGESTHBM', pid, hashlib.sha256(\n"
+        "    np.ascontiguousarray(merges_h).tobytes()).hexdigest(),\n"
+        "    flush=True)\n"
     )
     env = dict(os.environ)
     env.pop("PALLAS_AXON_POOL_IPS", None)
@@ -418,17 +432,22 @@ def test_multihost_merge_loop_two_processes(tmp_path):
     ]
     digests = {}
     spec_digests = {}
+    hbm_digests = {}
     outs = {}
     for p, proc in enumerate(procs):
-        out, _ = proc.communicate(timeout=300)
+        out, _ = proc.communicate(timeout=600)
         outs[p] = out.decode()
         assert proc.returncode == 0, outs[p]
         for line in outs[p].splitlines():
             if line.startswith("DIGESTSPEC"):
                 _, pid_s, digest = line.split()
                 spec_digests[int(pid_s)] = digest
+            elif line.startswith("DIGESTHBM"):
+                _, pid_s, digest = line.split()
+                hbm_digests[int(pid_s)] = digest
             elif line.startswith("DIGEST"):
                 _, pid_s, digest = line.split()
                 digests[int(pid_s)] = digest
     assert digests == {0: want, 1: want}, outs
     assert spec_digests == {0: want, 1: want}, outs
+    assert hbm_digests == {0: want, 1: want}, outs

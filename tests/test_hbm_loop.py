@@ -87,7 +87,10 @@ def test_hbm_applicable_bounds():
     assert not hbm_applicable(10_000_000, 64, 32768, 64)
 
 
-@pytest.mark.parametrize("vocab_size,min_freq", [(300, 1), (280, 3)])
+@pytest.mark.parametrize(
+    "vocab_size,min_freq",
+    [(300, 1), pytest.param(280, 3, marks=pytest.mark.slow)],
+)
 def test_hbm_kernel_matches_oracle_interpret(
     small_corpus, vocab_size, min_freq
 ):
@@ -109,6 +112,7 @@ def test_hbm_kernel_matches_oracle_interpret(
     assert merges == want
 
 
+@pytest.mark.slow
 def test_hbm_kernel_early_stop_interpret(small_corpus):
     """A min_frequency no pair reaches must stop with zero merges."""
     counter, wt, base = small_corpus
@@ -148,7 +152,10 @@ def test_hbm_kernel_golden_fixture_tpu():
     assert merges == ref
 
 
-@pytest.mark.parametrize("vocab_size,min_freq", [(300, 1), (280, 3)])
+@pytest.mark.parametrize(
+    "vocab_size,min_freq",
+    [(300, 1), pytest.param(280, 3, marks=pytest.mark.slow)],
+)
 def test_hbm_kernel_words_in_hbm_interpret(small_corpus, vocab_size, min_freq):
     """Streaming-scan (words-in-HBM) mode must match the oracle exactly:
     the mode the 1 GB corpus runs in, forced here onto a small table."""
@@ -171,6 +178,7 @@ def test_hbm_kernel_words_in_hbm_interpret(small_corpus, vocab_size, min_freq):
     assert merges == want
 
 
+@pytest.mark.slow
 def test_hbm_kernel_dense_affected_interpret():
     """Thousands of words sharing the merged pair: exercises multi-batch
     gathers, words sharing a packed row (lane-class blended write-back),
@@ -196,6 +204,7 @@ def test_hbm_kernel_dense_affected_interpret():
     assert merges == want
 
 
+@pytest.mark.slow
 def test_hbm_kernel_multislab_evictions_interpret():
     """Multi-slab vocab (V=4096) + >128 distinct pending columns: forces
     the pending-column accumulator through slot-exhaustion evictions and
@@ -232,6 +241,7 @@ def test_hbm_kernel_multislab_evictions_interpret():
 # ------------------------------------------------------- checkpoint/resume
 
 
+@pytest.mark.slow
 def test_hbm_kernel_resume_replay_interpret(small_corpus):
     """Resume via in-kernel replay must reproduce the full run exactly,
     including resume points that are not chunk-aligned."""
@@ -421,6 +431,7 @@ def _mini_merge_oracle(words, freqs, tokens, num_merges, min_frequency):
 
 
 @pytest.mark.slow
+@pytest.mark.slow
 def test_hbm_wide_vocab_u16_ids_interpret():
     """Vocabularies past i16 (GPT-2's 50,257 regime): symbol ids >= 32768
     stored as u16 bit patterns must train byte-exactly. A synthetic
@@ -468,6 +479,7 @@ def test_hbm_wide_vocab_u16_ids_interpret():
     assert got == want
 
 
+@pytest.mark.slow
 def test_hbm_big_counts_two_limb_exact():
     """Pair counts far beyond 2^24 (the single-f32 exactness bound) stay
     byte-exact through the two-limb pending-column accumulator — the

@@ -202,12 +202,23 @@ def test_replay_emit_wide_ids():
 
 
 @pytest.mark.chip
-def test_replay_emit_on_chip_matches_interpret():
+@pytest.mark.parametrize(
+    "wide,cps0",
+    [
+        (False, 128),
+        # wide u16 ids + a production-representative cps0 (ADVICE r4:
+        # large cps0 shape families were interpret-only before — the
+        # log zero-init must trace as a fori_loop, not 1000s of stores)
+        (True, 8192),
+    ],
+)
+def test_replay_emit_on_chip_matches_interpret(wide, cps0):
     """Mosaic-compiled kernel == interpreter, byte-for-byte (real TPU).
 
     Interpret mode can hide lowering restrictions; this pins the
     compiled kernel's words and cell logs to the oracle-pinned
-    interpreter outputs on the real chip.
+    interpreter outputs on the real chip — in both id modes and at a
+    production-scale cps0.
     """
     import jax.numpy as jnp
 
@@ -218,17 +229,18 @@ def test_replay_emit_on_chip_matches_interpret():
     rng = np.random.default_rng(3)
     width = 12
     n = 500
+    off = 40000 if wide else 0  # u16 bit patterns past i16 range
     words_list = [
-        rng.integers(0, 40, size=rng.integers(1, width + 1)).tolist()
+        (off + rng.integers(0, 40, size=rng.integers(1, width + 1))).tolist()
         for _ in range(n)
     ]
     freqs = rng.integers(1, 9, size=n).tolist()
     table = _mk_table(words_list, freqs, width)
     packed = pack_words(table)
     chain_np = np.full((4, 128), -1, np.int32)
-    chain_np[0, :3] = (words_list[0][0], words_list[0][1], 40)
-    chain_np[1, :3] = (3, 5, 41)
-    chain_np[2, :3] = (40, 2, 42)
+    chain_np[0, :3] = (words_list[0][0], words_list[0][1], off + 40)
+    chain_np[1, :3] = (off + 3, off + 5, off + 41)
+    chain_np[2, :3] = (off + 40, off + 2, off + 42)
 
     from yabpe_tpu.kernels.replay_emit import replay_emit_chunk
 
@@ -236,7 +248,8 @@ def test_replay_emit_on_chip_matches_interpret():
     for interp in (False, True):
         outs[interp] = replay_emit_chunk(
             jnp.asarray(packed), jnp.asarray(chain_np),
-            word_width=width, cps=64, cps0=128, interpret=interp,
+            word_width=width, cps=64, cps0=cps0, wide=wide,
+            interpret=interp,
         )
     for a, b, name in zip(
         outs[False], outs[True], ["words", "ll", "lr", "lw", "ok"]
