@@ -397,7 +397,10 @@ def _cross_round_compare(train_bps: float) -> None:
         return
     best_name, best = max(prior, key=lambda kv: kv[1])
     ratio = train_bps / best
-    flag = " [REGRESSION? below 0.6x best prior]" if ratio < 0.6 else ""
+    # 0.8x threshold (was 0.6x — a real 26% round-3 drop sailed through).
+    # Run-to-run noise on the shared sandbox measures ~±10%, so 0.8x
+    # flags genuine regressions without tripping on jitter.
+    flag = " [REGRESSION? below 0.8x best prior]" if ratio < 0.8 else ""
     _log(
         f"cross-round: headline {train_bps / 1e6:.1f} MB/s vs best prior "
         f"{best / 1e6:.1f} MB/s ({best_name}) = {ratio:.2f}x{flag}"

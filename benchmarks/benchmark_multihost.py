@@ -370,7 +370,101 @@ def _train_phase(
         f"END-TO-END training efficiency {eff * 100:.0f}% "
         f"(>= 80% target; merges bit-identical)"
     )
+
+    # ---- pod-host phase model (measured inputs, no free parameters
+    # beyond the pod's published envelope). Decompose the sharded merge
+    # into collective rounds (counted by the loop's own stats) and
+    # per-host compute; project onto pod hosts where the shard-local
+    # word-scan work parallelizes over pf cores/chips and DCN
+    # collectives cost 1-5 ms (the public multi-pod envelope), while the
+    # single-host baseline parallelizes by the same pf.
+    if stats:
+        e_coll = int(stats["spec_epochs"]) + 128 * int(
+            stats.get("fallback_chunks", 0)
+        )
+        t_coll_local = _measure_collective(files)
+        t_compute = max(t_merge_sh - e_coll * t_coll_local, 1e-3)
+        red = 2 * t_compute / max(single["merge"], 1e-9)
+        print(
+            f"  phase split: {e_coll} collective rounds x "
+            f"{t_coll_local * 1e3:.1f} ms = "
+            f"{e_coll * t_coll_local:.2f}s comm + {t_compute:.2f}s "
+            f"compute/host (redundancy {red:.2f}x of the single-host "
+            f"merge; ceiling 1/red = {100 / red:.0f}%)"
+        )
+        for pf, dcn_ms in ((8, 1.0), (8, 5.0), (32, 1.0), (32, 5.0)):
+            t_host_pod = (
+                t_shard / pf
+                + t_union
+                + t_compute / pf
+                + e_coll * dcn_ms / 1e3
+            )
+            t_single_pod = (t_ingest_single + single["merge"]) / pf
+            eff_pod = t_single_pod / (2 * t_host_pod)
+            print(
+                f"  pod model (pf={pf}, DCN {dcn_ms:.0f} ms): "
+                f"per-host {t_host_pod:.2f}s -> {eff_pod * 100:.0f}%"
+            )
     return 0
+
+
+def _measure_collective(files) -> float:
+    """Per-round all_gather cost on the REAL 2-process mesh (seconds).
+
+    Gathers a spec-epoch-sized payload (~256 KB) 50 times; the per-op
+    wall-clock is the t_coll input of the pod model.
+    """
+    import json
+
+    with socket.socket() as sock:
+        sock.bind(("localhost", 0))
+        port = sock.getsockname()[1]
+    script = (
+        "import sys, time, json\n"
+        f"sys.path.insert(0, {str(REPO / 'src')!r})\n"
+        "pid = int(sys.argv[1])\n"
+        "import jax\n"
+        "jax.distributed.initialize("
+        f"coordinator_address='localhost:{port}',"
+        " num_processes=2, process_id=pid)\n"
+        "import jax.numpy as jnp\n"
+        "import numpy as np\n"
+        "from jax.sharding import NamedSharding, PartitionSpec as P\n"
+        "from jax import shard_map\n"
+        "mesh = jax.make_mesh((2,), ('data',),"
+        " devices=jax.devices()[:2])\n"
+        "x = jax.device_put(jnp.zeros((32768,), jnp.int32),"
+        " NamedSharding(mesh, P('data')))\n"
+        "f = jax.jit(shard_map(lambda v: jax.lax.all_gather(v, 'data'),\n"
+        "    mesh=mesh, in_specs=P('data'), out_specs=P(None),\n"
+        "    check_vma=False))\n"
+        "np.asarray(f(x))  # compile\n"
+        "t0 = time.perf_counter()\n"
+        "for _ in range(50):\n"
+        "    np.asarray(f(x))\n"
+        "dt = (time.perf_counter() - t0) / 50\n"
+        "print('COLL', json.dumps({'pid': pid, 't': dt}), flush=True)\n"
+    )
+    env = dict(os.environ)
+    env.pop("PALLAS_AXON_POOL_IPS", None)
+    env["JAX_PLATFORMS"] = "cpu"
+    env["YABPE_BACKEND"] = "cpu"
+    procs = [
+        subprocess.Popen(
+            [sys.executable, "-c", script, str(p)],
+            stdout=subprocess.PIPE,
+            stderr=subprocess.DEVNULL,
+            env=env,
+        )
+        for p in range(2)
+    ]
+    ts = []
+    for proc in procs:
+        out, _ = proc.communicate(timeout=300)
+        for line in out.decode().splitlines():
+            if line.startswith("COLL "):
+                ts.append(json.loads(line[len("COLL "):])["t"])
+    return max(ts) if ts else 0.011
 
 
 if __name__ == "__main__":

@@ -366,8 +366,6 @@ def _hbm_loop_kernel(
 
     iota_v = jax.lax.broadcasted_iota(I32, (1, V), 1)
     iota_l = jax.lax.broadcasted_iota(I32, (1, L), 1)
-    iota_wl = jax.lax.broadcasted_iota(I32, (1, WL), 1)
-    iota_nb = iota_wl[:, : NB * 128]
     chunk_start = cfg_ref[0, 0]
     # Steps below this global index REPLAY the recorded (a, b) from the
     # merge buffer instead of selecting: checkpoint resume rebuilds the
@@ -755,7 +753,7 @@ def _hbm_loop_kernel(
                                 a, b, c,
                                 stage_l_ref, stage_r_ref, stage_w_ref,
                                 addvecs_ref, colmeta_ref, k_used,
-                                V=V, A=A, F=F,
+                                V=V, A=A, F=F, wide_hist=words_in_hbm,
                             )
 
                     # bucket 1 (narrow words), then bucket 2 — each at
@@ -792,6 +790,7 @@ def _hbm_loop_kernel(
                     if not (ablate & 4) and not (ablate & 2):
                         _apply_line_buckets(
                             a, b, c, best_count,
+                            scalars_ref[0, _NEXT_ID],
                             counts_ref, row_max_ref, rowwin_ref,
                             rowwin2_ref, addvecs_ref, colacc_ref,
                             colids_v_ref, colmeta_ref, colblk_ref,
@@ -1032,7 +1031,7 @@ def _flush_stage(
     stage_l_ref, stage_r_ref, stage_w_ref,
     addvecs_ref, colmeta_ref, used,
     *,
-    V: int, A: int, F: int,
+    V: int, A: int, F: int, wide_hist: bool = False,
 ):
     """Fold staged cells into the step's line-bucket accumulators.
 
@@ -1083,16 +1082,25 @@ def _flush_stage(
         lower = T
 
     n_cells = colmeta_ref[3 * F + 2]
-    n_chunks = (n_cells + 127) // 128
+    # Two-tier histogram (r5): heavy steps used to pay one [6, 128]-K
+    # matmul round per 128 cells — thousands of rounds per dense merge
+    # at 1 GB scale, which (not the table stream) dominated streaming
+    # mode at 7.9 ms/step. Full 8-row (1024-cell) passes amortize the
+    # classify/one-hot overhead 8x over the bulk; the tail then runs at
+    # the original 1-row width so small warm steps (a few hundred cells)
+    # don't pay a 1024-wide pass. Limb sums stay exact: <= 1024 values
+    # < 2^13 per f32 accumulator stays under 2^24.
     # dvec rows (accumulated across the step's flushes; zeroed by
-    # _process_affected at step start):
+    # the kernel's step body at step start):
     #            0 = col a (keyed by l), 1 = col c (keyed by l),
     #            2 = row b (keyed by r), 3 = row c (keyed by r)
 
-    def chunk_body(ck, _):
-        l_ch = stage_l_ref[pl.ds(ck, 1), :]
-        r_ch = stage_r_ref[pl.ds(ck, 1), :]
-        w_ch = stage_w_ref[pl.ds(ck, 1), :]
+    def chunk_body_at(row0, CH: int):
+        CL = CH * 128
+        kpos = pl.multiple_of(row0, CH) if CH > 1 else row0
+        l_ch = stage_l_ref[pl.ds(kpos, CH), :].reshape(1, CL)
+        r_ch = stage_r_ref[pl.ds(kpos, CH), :].reshape(1, CL)
+        w_ch = stage_w_ref[pl.ds(kpos, CH), :].reshape(1, CL)
         live = l_ch >= 0
         m_ab = live & (l_ch == a) & (r_ch == b)
         m_ca = live & jnp.logical_not(m_ab) & (r_ch == a)
@@ -1105,18 +1113,18 @@ def _flush_stage(
 
         wl = jnp.concatenate(
             [jnp.where(m_ca, w_ch, 0), jnp.where(m_cc, w_ch, 0)], axis=0
-        )  # [2, 128] keyed by l
+        )  # [2, CL] keyed by l
         wr = jnp.concatenate(
             [jnp.where(m_rb, w_ch, 0), jnp.where(m_rc, w_ch, 0)], axis=0
-        )  # [2, 128] keyed by r
-        key_l = jnp.where(m_ca | m_cc, l_ch, V)  # [1, 128]
+        )  # [2, CL] keyed by r
+        key_l = jnp.where(m_ca | m_cc, l_ch, V)  # [1, CL]
         key_r = jnp.where(m_rb | m_rc, r_ch, V)
 
         hi = jax.lax.Precision.HIGHEST
 
         def hist(wmat, key_row, out_row):
             # The 3 12-bit weight limbs stack into ONE [6, slab] matmul
-            # per slab (exact: each limb-row sums <= 128 values < 2^13 in
+            # per slab (exact: each limb-row sums <= CL values < 2^13 in
             # f32, recombined in i32); slabs no key lands in are skipped
             # entirely — a typical step's cells touch 1-2 of the V/2048
             # slabs, so this drops ~90% of the per-flush MXU dispatches.
@@ -1125,39 +1133,44 @@ def _flush_stage(
             h1 = rem12 >> 12
             h0 = rem12 - (h1 << 12)
             stacked = jnp.concatenate([h2, h1, h0], axis=0).astype(F32)
-            key_sub = key_row.reshape(128, 1)
+            key_sub = key_row.reshape(CL, 1)
             # One scalar bitmask of present slabs (bit sb set iff any
-            # live key falls in slab sb): each slab's FIRST cell (by
-            # lane) contributes 1 << slab exactly once, so the sum is an
-            # exact bitwise OR. Requires V // _SLAB <= 31 (V <= 63488 at
-            # slab 2048); 16 at the current 32k cap.
-            kdiv_c = key_sub // _SLAB                # [128, 1]
-            kdiv_r = key_row // _SLAB                # [1, 128]
-            same = kdiv_c == kdiv_r                  # [128, 128]
-            lane_r = jax.lax.broadcasted_iota(I32, (1, 128), 1)
-            mnl = jnp.min(
-                jnp.where(same, lane_r, 128), axis=1, keepdims=True
-            )                                        # [128, 1]
-            lane_c = jax.lax.broadcasted_iota(I32, (128, 1), 0)
-            first = (mnl == lane_c) & (key_sub < V)
+            # live key falls in slab sb) via a [NS, CL] membership
+            # compare — ONE vector->scalar sync instead of a per-slab
+            # reduction-and-branch (which measured ~1.3 s/run of
+            # scalar-pipeline stalls). Requires V // _SLAB <= 31.
+            NSL = V // _SLAB
+            kdiv_r = key_row // _SLAB  # [1, CL]; dead keys map past NSL
+            iota_ns = jax.lax.broadcasted_iota(I32, (NSL, 1), 0)
+            hit = jnp.max(
+                _b2i(kdiv_r == iota_ns), axis=1, keepdims=True
+            )  # [NSL, 1]
             smask = jnp.sum(
-                jnp.where(first, 1 << jnp.minimum(kdiv_c, 30), 0)
+                jnp.where(hit > 0, 1 << jnp.minimum(iota_ns, 30), 0)
             )
+            # the one-hot runs in <= 256-key sub-chunks so its [K, slab]
+            # f32 temporary stays small (a CL-wide one-hot held an 8 MB
+            # VMEM value that pressured the whole kernel's allocation)
+            KC = min(CL, 256)
             for sb in range(V // _SLAB):
                 base = sb * _SLAB
 
                 @pl.when(((smask >> sb) & 1) != 0)
                 def _(base=base):
-                    oh = (
-                        key_sub
-                        == jax.lax.broadcasted_iota(I32, (128, _SLAB), 1)
-                        + base
-                    ).astype(F32)
-                    d6 = jax.lax.dot_general(
-                        stacked, oh,
-                        dimension_numbers=(((1,), (0,)), ((), ())),
-                        preferred_element_type=F32, precision=hi,
-                    )  # [6, _SLAB]
+                    d6 = jnp.zeros((6, _SLAB), F32)
+                    for kq in range(CL // KC):
+                        oh = (
+                            key_sub[kq * KC : (kq + 1) * KC, :]
+                            == jax.lax.broadcasted_iota(
+                                I32, (KC, _SLAB), 1
+                            )
+                            + base
+                        ).astype(F32)
+                        d6 = d6 + jax.lax.dot_general(
+                            stacked[:, kq * KC : (kq + 1) * KC], oh,
+                            dimension_numbers=(((1,), (0,)), ((), ())),
+                            preferred_element_type=F32, precision=hi,
+                        )  # [6, _SLAB]
                     d = (
                         d6[0:2, :].astype(I32) * (1 << 24)
                         + d6[2:4, :].astype(I32) * (1 << 12)
@@ -1180,15 +1193,36 @@ def _flush_stage(
         def _():
             hist(wr, key_r, 2)
 
+    # The wide tier compiles only for streaming-mode problems (1 GB
+    # class, dense steps staging 10^4-10^5 cells); VMEM-mode workloads
+    # measured ~1 s/run SLOWER with it present (warm steps stage a few
+    # hundred cells; the wider pass bought nothing and its temporaries
+    # pressured the whole kernel), so they keep the pure 128-cell path.
+    CHW = 8  # wide-pass stage rows (1024 cells per pass)
+    if wide_hist:
+        n_wide = n_cells // (CHW * 128)
+
+        def wide_body(ck, _):
+            chunk_body_at(ck * CHW, CHW)
+            return 0
+
+        jax.lax.fori_loop(0, n_wide, wide_body, 0)
+    else:
+        n_wide = jnp.int32(0)
+    tail0 = n_wide * CHW
+    n_tail = (n_cells - n_wide * CHW * 128 + 127) // 128
+
+    def tail_body(ck, _):
+        chunk_body_at(tail0 + ck, 1)
         return 0
 
-    jax.lax.fori_loop(0, n_chunks, chunk_body, 0)
+    jax.lax.fori_loop(0, n_tail, tail_body, 0)
 
     colmeta_ref[3 * F + 5] = colmeta_ref[3 * F + 5] + colmeta_ref[3 * F + 3]
 
 
 def _apply_line_buckets(
-    a, b, c, best_count,
+    a, b, c, best_count, live_hi,
     counts_ref, row_max_ref, rowwin_ref, rowwin2_ref,
     addvecs_ref, colacc_ref, colids_v_ref, colmeta_ref, colblk_ref,
     pendpos_ref, pendany_ref, sems,
@@ -1228,32 +1262,15 @@ def _apply_line_buckets(
 
     # ---- rows b, c and the (a, b) cell: window RMWs, exact row_max ----
     # HBM slices must be 8-row aligned, so each row moves as its aligned
-    # [8, V] window. b != c always (c's byte string strictly contains
-    # b's): when they share a window ONE fused RMW handles both rows;
-    # otherwise the two round-trips overlap on separate buffers and
-    # semaphores. Zero-delta rows skip their round-trip entirely
-    # (row_max stays a valid upper bound untouched).
-    def rmw_read(base, buf_ref, sem):
-        return pltpu.make_async_copy(
-            counts_ref.at[pl.ds(base, 8), :], buf_ref, sem
-        )
-
-    def rmw_write(base, buf_ref, sem):
-        return pltpu.make_async_copy(
-            buf_ref, counts_ref.at[pl.ds(base, 8), :], sem
-        )
-
-    def rmw_apply(x, base, buf_ref, addvec):
-        sub = x - base
-        row = buf_ref[pl.ds(sub, 1), :] + addvec
-        buf_ref[pl.ds(sub, 1), :] = row
-        # The bound must cover this row's PENDING positive column deltas
-        # too (the table row alone under-bounds the true max).
-        bound = jnp.max(row) + _extract_lane(pendpos_ref[...], x)
-        row_max_ref[...] = jnp.where(
-            iota_v == x, bound, row_max_ref[...]
-        )
-
+    # [8, rows] window — "rows" being a power-of-2 slab count covering
+    # next_id (r5): every delta lane is a live symbol id and dead lanes
+    # hold count 0, so truncating the window keeps both the update and
+    # the row-max refresh exact while roughly halving the RMW bytes on
+    # average (16x during early chunks). b != c always (c's byte string
+    # strictly contains b's): when they share a window ONE fused RMW
+    # handles both rows; otherwise the two round-trips overlap on
+    # separate buffers and semaphores. Zero-delta rows skip their
+    # round-trip entirely (row_max stays a valid upper bound untouched).
     nzb = jnp.max(jnp.abs(addvecs_ref[2:3, :])) > 0
     nzc = jnp.max(jnp.abs(addvecs_ref[3:4, :])) > 0
     base_b = (b // 8) * 8
@@ -1261,60 +1278,113 @@ def _apply_line_buckets(
     fused = nzb & nzc & (base_b == base_c)
     sep_b = nzb & jnp.logical_not(fused)
     sep_c = nzc & jnp.logical_not(fused)
-    cp_rb = rmw_read(base_b, rowwin_ref, sems.at[2])
-    cp_rc = rmw_read(base_c, rowwin2_ref, sems.at[4])
-    cp_wb = rmw_write(base_b, rowwin_ref, sems.at[2])
-    cp_wc = rmw_write(base_c, rowwin2_ref, sems.at[4])
 
-    @pl.when(fused)
-    def _():
-        cp_rb.start()
-        cp_rb.wait()
-        rmw_apply(b, base_b, rowwin_ref, addvecs_ref[2:3, :])
-        rmw_apply(c, base_b, rowwin_ref, addvecs_ref[3:4, :])
-        cp_wb.start()
-        cp_wb.wait()
+    sl = _slab_size(V)
+    NS = V // sl
+    # Single full-width branch: lane-laddered row windows were measured
+    # ~1 s/run SLOWER at the 100 MB flagship despite moving fewer bytes
+    # (the extra predicated DMA descriptors cost more in Mosaic
+    # scheduling than the skipped bytes saved — rows move at full HBM
+    # bandwidth either way). The eviction path keeps its ladder: there
+    # the skipped bytes are 10-100x larger per transfer.
+    ladder = [NS]
+    nb_needed = (live_hi + sl - 1) // sl
 
-    @pl.when(sep_b)
-    def _():
-        cp_rb.start()
+    def rows_rmw(width: int):
+        def rmw_read(base, buf_ref, sem):
+            return pltpu.make_async_copy(
+                counts_ref.at[pl.ds(base, 8), pl.ds(0, width)],
+                buf_ref.at[:, pl.ds(0, width)],
+                sem,
+            )
 
-    @pl.when(sep_c)
-    def _():
-        cp_rc.start()
+        def rmw_write(base, buf_ref, sem):
+            return pltpu.make_async_copy(
+                buf_ref.at[:, pl.ds(0, width)],
+                counts_ref.at[pl.ds(base, 8), pl.ds(0, width)],
+                sem,
+            )
 
-    @pl.when(sep_b)
-    def _():
-        cp_rb.wait()
-        rmw_apply(b, base_b, rowwin_ref, addvecs_ref[2:3, :])
-        cp_wb.start()
+        def rmw_apply(x, base, buf_ref, addvec):
+            sub = x - base
+            row = buf_ref[pl.ds(sub, 1), pl.ds(0, width)] + addvec
+            buf_ref[pl.ds(sub, 1), pl.ds(0, width)] = row
+            # The bound must cover this row's PENDING positive column
+            # deltas too (the table row alone under-bounds the true
+            # max); lanes past ``width`` hold 0, so the truncated max
+            # equals the full-row max (counts are nonnegative).
+            bound = jnp.max(row) + _extract_lane(pendpos_ref[...], x)
+            row_max_ref[...] = jnp.where(
+                iota_v == x, bound, row_max_ref[...]
+            )
 
-    @pl.when(sep_c)
-    def _():
-        cp_rc.wait()
-        rmw_apply(c, base_c, rowwin2_ref, addvecs_ref[3:4, :])
-        cp_wc.start()
+        addv_b = addvecs_ref[2:3, pl.ds(0, width)]
+        addv_c = addvecs_ref[3:4, pl.ds(0, width)]
+        cp_rb = rmw_read(base_b, rowwin_ref, sems.at[2])
+        cp_rc = rmw_read(base_c, rowwin2_ref, sems.at[4])
+        cp_wb = rmw_write(base_b, rowwin_ref, sems.at[2])
+        cp_wc = rmw_write(base_c, rowwin2_ref, sems.at[4])
 
-    @pl.when(sep_b)
-    def _():
-        cp_wb.wait()
+        @pl.when(fused)
+        def _():
+            cp_rb.start()
+            cp_rb.wait()
+            rmw_apply(b, base_b, rowwin_ref, addv_b)
+            rmw_apply(c, base_b, rowwin_ref, addv_c)
+            cp_wb.start()
+            cp_wb.wait()
 
-    @pl.when(sep_c)
-    def _():
-        cp_wc.wait()
+        @pl.when(sep_b)
+        def _():
+            cp_rb.start()
 
-    # Row a (the (a, b) cell) may share a window with row b or c, so it
-    # runs strictly after both write-backs completed.
-    @pl.when(d_ab != 0)
-    def _():
-        base_a = (a // 8) * 8
-        cp_ra = rmw_read(base_a, rowwin_ref, sems.at[2])
-        cp_ra.start()
-        cp_ra.wait()
-        rmw_apply(a, base_a, rowwin_ref, jnp.where(iota_v == b, d_ab, 0))
-        cp_wa = rmw_write(base_a, rowwin_ref, sems.at[2])
-        cp_wa.start()
-        cp_wa.wait()
+        @pl.when(sep_c)
+        def _():
+            cp_rc.start()
+
+        @pl.when(sep_b)
+        def _():
+            cp_rb.wait()
+            rmw_apply(b, base_b, rowwin_ref, addv_b)
+            cp_wb.start()
+
+        @pl.when(sep_c)
+        def _():
+            cp_rc.wait()
+            rmw_apply(c, base_c, rowwin2_ref, addv_c)
+            cp_wc.start()
+
+        @pl.when(sep_b)
+        def _():
+            cp_wb.wait()
+
+        @pl.when(sep_c)
+        def _():
+            cp_wc.wait()
+
+        # Row a (the (a, b) cell) may share a window with row b or c, so
+        # it runs strictly after both write-backs completed.
+        @pl.when(d_ab != 0)
+        def _():
+            base_a = (a // 8) * 8
+            cp_ra = rmw_read(base_a, rowwin_ref, sems.at[2])
+            cp_ra.start()
+            cp_ra.wait()
+            iota_w = jax.lax.broadcasted_iota(I32, (1, width), 1)
+            rmw_apply(
+                a, base_a, rowwin_ref, jnp.where(iota_w == b, d_ab, 0)
+            )
+            cp_wa = rmw_write(base_a, rowwin_ref, sems.at[2])
+            cp_wa.start()
+            cp_wa.wait()
+
+    _prev = 0
+    for _nb in ladder:
+        @pl.when((nb_needed > _prev) & (nb_needed <= _nb))
+        def _(_nb=_nb):
+            rows_rmw(_nb * sl)
+
+        _prev = _nb
 
     # ---- columns a, c: pending-column accumulator ----
     def col_accumulate(col_id, dvec_row):
@@ -1410,12 +1480,14 @@ def _evict_columns(
             @pl.when(jnp.logical_not(seen_before) & (cid >= 0))
             def _():
                 # highest delta row across this block's slots: table
-                # slabs above it have an all-zero addend (every cell's
-                # left symbol is a live id), so their RMW is skipped
-                # outright — during early chunks only the first slab of
-                # each dirty block moves instead of all V rows (r5: the
-                # whole-block RMW was the largest single flush cost,
-                # ~33 MB/step amortized).
+                # rows above it have an all-zero addend (every cell's
+                # left symbol is a live id), so the RMW covers only a
+                # power-of-2 slab count that reaches the bound — ONE
+                # contiguous DMA each way per block (a per-slab DMA loop
+                # measured WORSE: ~1000 serialized small copies per
+                # eviction paid more latency than the skipped bytes
+                # saved). During early chunks one slab moves instead of
+                # all V rows.
                 def bnd(t, acc):
                     same = (colmeta_ref[t] // 128) == blk
                     return jnp.maximum(
@@ -1436,43 +1508,61 @@ def _evict_columns(
                 # flush's mag tracking; the true value fits i32)
                 sl = _slab_size(V)
                 hi_p = jax.lax.Precision.HIGHEST
-                for sb in range(V // sl):
-                    lo = sb * sl
+                NS = V // sl
+                nb_needed = bound // sl + 1  # >= 1 (bound >= 0 for live)
+                ladder = []
+                nb = 1
+                while nb < NS:
+                    ladder.append(nb)
+                    nb *= 2
+                ladder.append(NS)
+                prev = 0
+                for nb in ladder:
+                    rows = nb * sl
 
-                    @pl.when(lo <= bound)
-                    def _(lo=lo):
+                    @pl.when((nb_needed > prev) & (nb_needed <= nb))
+                    def _(nb=nb, rows=rows):
                         cp = pltpu.make_async_copy(
-                            counts_ref.at[pl.ds(lo, sl), pl.ds(bb, 128)],
-                            colblk_ref.at[pl.ds(lo, sl), :],
+                            counts_ref.at[
+                                pl.ds(0, rows), pl.ds(bb, 128)
+                            ],
+                            colblk_ref.at[pl.ds(0, rows), :],
                             sems.at[2],
                         )
                         cp.start()
                         cp.wait()
-                        add_lo = jax.lax.dot_general(
-                            colacc_ref[0:F, pl.ds(lo, sl)], self_f32,
-                            dimension_numbers=(((0,), (0,)), ((), ())),
-                            preferred_element_type=F32,
-                            precision=hi_p,
-                        ).astype(I32)  # [sl, 128]
-                        add_hi = jax.lax.dot_general(
-                            colacc_ref[F : 2 * F, pl.ds(lo, sl)],
-                            self_f32,
-                            dimension_numbers=(((0,), (0,)), ((), ())),
-                            preferred_element_type=F32,
-                            precision=hi_p,
-                        ).astype(I32)
-                        colblk_ref[pl.ds(lo, sl), :] = (
-                            colblk_ref[pl.ds(lo, sl), :]
-                            + add_hi * 4096
-                            + add_lo
-                        )
+                        for sb in range(nb):
+                            lo = sb * sl
+                            add_lo = jax.lax.dot_general(
+                                colacc_ref[0:F, pl.ds(lo, sl)],
+                                self_f32,
+                                dimension_numbers=(((0,), (0,)), ((), ())),
+                                preferred_element_type=F32,
+                                precision=hi_p,
+                            ).astype(I32)  # [sl, 128]
+                            add_hi = jax.lax.dot_general(
+                                colacc_ref[F : 2 * F, pl.ds(lo, sl)],
+                                self_f32,
+                                dimension_numbers=(((0,), (0,)), ((), ())),
+                                preferred_element_type=F32,
+                                precision=hi_p,
+                            ).astype(I32)
+                            colblk_ref[pl.ds(lo, sl), :] = (
+                                colblk_ref[pl.ds(lo, sl), :]
+                                + add_hi * 4096
+                                + add_lo
+                            )
                         cpo = pltpu.make_async_copy(
-                            colblk_ref.at[pl.ds(lo, sl), :],
-                            counts_ref.at[pl.ds(lo, sl), pl.ds(bb, 128)],
+                            colblk_ref.at[pl.ds(0, rows), :],
+                            counts_ref.at[
+                                pl.ds(0, rows), pl.ds(bb, 128)
+                            ],
                             sems.at[2],
                         )
                         cpo.start()
                         cpo.wait()
+
+                    prev = nb
 
             return 0
 

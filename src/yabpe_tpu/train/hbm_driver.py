@@ -112,6 +112,84 @@ def hbm_applicable(
     return hbm_mode(n_words, word_width, vocab_cap, max_token_len) is not None
 
 
+def plan_buckets(
+    table: WordTable, vocab_cap: int, max_token_len: int
+):
+    """Width-bucket the table and pick the kernel's word placement.
+
+    Returns ``(t_n, t_w, W, W2, words_in_hbm)`` — ``t_w``/``W2`` are
+    None/0 for a single bucket, ``words_in_hbm`` is None when the
+    problem exceeds the kernel's VMEM/HBM budgets even split. The single
+    source of truth for both the trainer's routing predicate and
+    run_hbm_merge_loop (they must never disagree, ADVICE r4).
+    """
+    if vocab_cap > MAX_VOCAB_CAP or max(table.width, 2) > MAX_WORD_WIDTH:
+        return None, None, 0, 0, None
+    b0_floor = 2
+    V = _round_up(
+        max(vocab_cap, b0_floor), 2048 if vocab_cap > 2048 else 128
+    )
+    L = _round_up(max(table.width, max_token_len, 2), 8)
+    split = bucket_split(table)
+    if split is not None:
+        w1, mask = split
+        lengths = (table.words >= 0).sum(axis=1)
+        w2 = max(int(lengths.max(initial=0)), 2)
+        t_n = WordTable(
+            words=np.ascontiguousarray(table.words[mask][:, :w1]),
+            freqs=np.ascontiguousarray(table.freqs[mask]),
+            num_words=int(mask.sum()),
+            max_len=w1,
+        )
+        t_w = WordTable(
+            words=np.ascontiguousarray(table.words[~mask][:, :w2]),
+            freqs=np.ascontiguousarray(table.freqs[~mask]),
+            num_words=int((~mask).sum()),
+            max_len=w2,
+        )
+    else:
+        t_n, t_w = table, None
+    W = max(t_n.width, 2)
+    W2 = max(t_w.width, 2) if t_w is not None else 0
+
+    def _rows(t, mult: int) -> int:
+        if t is None:
+            return 0
+        return _round_up((t.words.shape[0] + 127) // 128, mult)
+
+    F = pending_cols_for(V)
+    if (
+        _vmem_estimate(
+            _rows(t_n, 8), W, V, L, words_in_vmem=True, F=F,
+            nr2=_rows(t_w, 8), W2=W2,
+        )
+        <= _VMEM_BUDGET
+    ):
+        return t_n, t_w, W, W2, False
+    nr1_h, nr2_h = _rows(t_n, 256), _rows(t_w, 256)
+    fits_stream = (
+        _vmem_estimate(
+            nr1_h, W, V, L, words_in_vmem=False, F=F, nr2=nr2_h, W2=W2,
+        )
+        <= _VMEM_BUDGET
+    )
+    hbm_bytes = (
+        nr1_h * (W + 2) * 128 * 2
+        + nr2_h * (W2 + 2) * 128 * 2
+        + 4 * V * V
+    )
+    if not fits_stream or hbm_bytes > _HBM_BUDGET:
+        return t_n, t_w, W, W2, None
+    return t_n, t_w, W, W2, True
+
+
+def hbm_applicable_table(
+    table: WordTable, vocab_cap: int, max_token_len: int
+) -> bool:
+    """Split-aware admission test (the trainer's routing predicate)."""
+    return plan_buckets(table, vocab_cap, max_token_len)[4] is not None
+
+
 def bucket_split(table: WordTable) -> tuple[int, np.ndarray] | None:
     """Pick a narrow-bucket width for the two-bucket word layout.
 
@@ -256,64 +334,17 @@ def run_hbm_merge_loop(
     M = _round_up(max(num_merges, 1), chunk)
 
     # ---- width buckets (r5): narrow words packed at their own width
-    split = bucket_split(table)
-    if split is not None:
-        w1, mask = split
-        lengths = (table.words >= 0).sum(axis=1)
-        w2 = max(int(lengths.max(initial=0)), 2)
-        t_n = WordTable(
-            words=np.ascontiguousarray(table.words[mask][:, :w1]),
-            freqs=np.ascontiguousarray(table.freqs[mask]),
-            num_words=int(mask.sum()),
-            max_len=w1,
-        )
-        t_w = WordTable(
-            words=np.ascontiguousarray(table.words[~mask][:, :w2]),
-            freqs=np.ascontiguousarray(table.freqs[~mask]),
-            num_words=int((~mask).sum()),
-            max_len=w2,
-        )
-    else:
-        t_n, t_w = table, None
-    W = max(t_n.width, 2)
-    W2 = max(t_w.width, 2) if t_w is not None else 0
-
-    def _rows(t: WordTable | None, mult: int) -> int:
-        if t is None:
-            return 0
-        return _round_up((t.words.shape[0] + 127) // 128, mult)
-
     F = pending_cols_for(V)
+    t_n, t_w, W, W2, auto_hbm = plan_buckets(
+        table, vocab_cap, base_vocab.max_token_len()
+    )
     if force_words_in_hbm is None:
-        fits_vmem = (
-            _vmem_estimate(
-                _rows(t_n, 8), W, V, L, words_in_vmem=True, F=F,
-                nr2=_rows(t_w, 8), W2=W2,
+        if auto_hbm is None:
+            raise HbmKernelUnsupported(
+                "problem exceeds the HBM kernel's capacity "
+                "(VMEM plan / HBM budget)"
             )
-            <= _VMEM_BUDGET
-        )
-        if fits_vmem:
-            words_in_hbm = False
-        else:
-            nr1_h, nr2_h = _rows(t_n, 256), _rows(t_w, 256)
-            fits_stream = (
-                _vmem_estimate(
-                    nr1_h, W, V, L, words_in_vmem=False, F=F,
-                    nr2=nr2_h, W2=W2,
-                )
-                <= _VMEM_BUDGET
-            )
-            hbm_bytes = (
-                nr1_h * (W + 2) * 128 * 2
-                + nr2_h * (W2 + 2) * 128 * 2
-                + 4 * V * V
-            )
-            if not fits_stream or hbm_bytes > _HBM_BUDGET:
-                raise HbmKernelUnsupported(
-                    "problem exceeds the HBM kernel's capacity "
-                    "(VMEM plan / HBM budget)"
-                )
-            words_in_hbm = True
+        words_in_hbm = auto_hbm
     else:
         words_in_hbm = force_words_in_hbm
 
@@ -402,7 +433,10 @@ __all__ = [
     "run_hbm_merge_loop",
     "HbmKernelUnsupported",
     "hbm_applicable",
+    "hbm_applicable_table",
     "hbm_mode",
+    "plan_buckets",
+    "bucket_split",
     "pack_words",
     "initial_corner_counts",
     "MAX_VOCAB_CAP",

@@ -298,24 +298,30 @@ class BBPETrainer:
     def _should_use_native_loop(self, n_unique: int, num_merges: int) -> bool:
         """Route auto-engine single-host runs to the C++ host merge loop.
 
-        Re-derived from measured per-step costs (PERFORMANCE.md, round 4):
-        the native lazy-max-heap loop costs ~44 us/step at 381k unique
-        words (100 MB @ 32k) and ~190 us/step at ~1M uniques (1 GB); the
-        HBM Pallas kernel's flat per-step cost is ~290 us with the word
-        table VMEM-resident and ~7.9 ms in words-in-HBM streaming mode.
-        The native/kernel crossover (~2M+ uniques at the VMEM-mode rate)
-        lies beyond the VMEM mode's own admission bound, and the
-        streaming mode never crosses on one chip — so every feasible
-        single-chip auto workload routes to the host on merit. The device
-        engines carry distributed and checkpointed runs (routed earlier,
-        where the host loop has no shard/replay story) and explicit
-        opt-ins (``use_native_loop=False`` / ``use_hbm_kernel=True``).
+        Re-derived from measured per-step costs (PERFORMANCE.md, round
+        5): the native lazy-max-heap loop costs ~28 us/step at 388k
+        unique words (100 MB @ 32k) and ~60 us/step at ~3.9M uniques
+        (1 GB); the HBM Pallas kernel costs ~0.27 ms/step flat with the
+        word table VMEM-resident and ~0.6 ms/step at 3.9M uniques in
+        words-in-HBM streaming mode (down from 7.9 ms in round 4 — the
+        two-tier flush histogram). Extrapolating the native slope
+        (~+9 us per 1M uniques), the single-chip crossover sits at
+        ~25M+ uniques — beyond the VMEM mode's admission bound, and the
+        streaming mode's per-step cost grows with the same corpus-size
+        slope, so it never crosses on ONE chip. Every feasible
+        single-chip auto workload routes to the host on merit; the
+        multi-chip break-even (per-chip shard cost + one collective per
+        speculative epoch vs the host's single-core ceiling) is derived
+        in PERFORMANCE.md §crossover. The device engines carry
+        distributed and checkpointed runs (routed earlier, where the
+        host loop has no shard/replay story) and explicit opt-ins
+        (``use_native_loop=False`` / ``use_hbm_kernel=True``).
 
         An earlier cost-product threshold (``num_merges * 8 * n_unique <
-        3e11``) mis-routed 1 GB-scale corpora to the ~30x-slower device
-        streaming mode once round 4 lifted the kernel's admission caps;
-        the signature keeps ``n_unique``/``num_merges`` for a future
-        multi-chip crossover model.
+        3e11``) mis-routed 1 GB-scale corpora to the then-30x-slower
+        device streaming mode once round 4 lifted the kernel's admission
+        caps; the signature keeps ``n_unique``/``num_merges`` for a
+        future multi-chip crossover model.
         """
         del n_unique, num_merges
         return self._native_loop_candidate()
@@ -486,13 +492,10 @@ class BBPETrainer:
         cfg = self.config
         if cfg.use_hbm_kernel is False:
             return False
-        from yabpe_tpu.train.hbm_driver import hbm_applicable
+        from yabpe_tpu.train.hbm_driver import hbm_applicable_table
 
-        fits = hbm_applicable(
-            int(table.words.shape[0]),
-            int(table.words.shape[1]),
-            vocab_cap,
-            max(table.width, 2),
+        fits = hbm_applicable_table(
+            table, vocab_cap, max(table.width, 2)
         )
         if cfg.use_hbm_kernel is True:
             if not fits:
