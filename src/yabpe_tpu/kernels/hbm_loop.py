@@ -290,6 +290,7 @@ def _hbm_loop_kernel(
     min_frequency: int,
     copy_in: bool,
     words_in_hbm: bool,
+    wide_hist: bool,
     ablate: int,
 ):
     V = vocab_cap
@@ -753,7 +754,7 @@ def _hbm_loop_kernel(
                                 a, b, c,
                                 stage_l_ref, stage_r_ref, stage_w_ref,
                                 addvecs_ref, colmeta_ref, k_used,
-                                V=V, A=A, F=F, wide_hist=words_in_hbm,
+                                V=V, A=A, F=F, wide_hist=wide_hist,
                             )
 
                     # bucket 1 (narrow words), then bucket 2 — each at
@@ -1603,6 +1604,7 @@ def _evict_columns(
         "pending_cols",
         "interpret",
         "words_in_hbm",
+        "wide_hist",
         "ablate",
     ),
     donate_argnums=tuple(range(9)),
@@ -1631,6 +1633,7 @@ def hbm_merge_chunk(
     pending_cols: int = 128,
     interpret: bool = False,
     words_in_hbm: bool = False,
+    wide_hist: bool = False,
     ablate: int = 0,
 ):
     """Run ``chunk_size`` merge steps in ONE kernel dispatch.
@@ -1673,6 +1676,7 @@ def hbm_merge_chunk(
         min_frequency=min_frequency,
         copy_in=interpret,
         words_in_hbm=words_in_hbm,
+        wide_hist=wide_hist or words_in_hbm,
         ablate=ablate,
     )
     out_shape = [

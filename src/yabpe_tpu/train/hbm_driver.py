@@ -417,6 +417,10 @@ def run_hbm_merge_loop(
             pending_cols=F,
             interpret=interpret,
             words_in_hbm=words_in_hbm,
+            # the dense early merges have the same many-cells-per-step
+            # shape as streaming mode; the wide histogram tier pays off
+            # there and only there in VMEM mode (PERFORMANCE.md r5)
+            wide_hist=start == 0,
             ablate=ablate,
         )
         start += chunk
