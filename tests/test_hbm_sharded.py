@@ -121,6 +121,7 @@ def test_hbm_sharded_rejects_oversize_vocab(corpus_table):
         )
 
 
+@pytest.mark.slow
 def test_hbm_sharded_wide_u16_ids():
     """Symbol ids past the i16 range (u16 bit patterns in the packed
     shards) through the FULL sharded loop: a synthetic base vocabulary
