@@ -21,13 +21,20 @@ if [[ "$MODE" == "fast" ]]; then
   MARKER="not chip and not slow"
 fi
 
-declare -a GROUPS_NAMES=(host tokenizer kernels trainer hbm dist)
+declare -a GROUPS_NAMES=(host tokenizer kernels trainer hbm_loop hbm_sharded dist)
 declare -A GROUP_FILES=(
   [host]="tests/test_pretok.py tests/test_native.py tests/test_train_bpe_gpt2.py tests/test_bigvocab.py"
   [tokenizer]="tests/test_tokenizer.py tests/test_tokenizer_gpt2.py"
   [kernels]="tests/test_kernels.py tests/test_fused_kernel.py tests/test_replay_emit.py"
   [trainer]="tests/test_trainer.py tests/test_reference_cross.py"
-  [hbm]="tests/test_hbm_loop.py tests/test_hbm_sharded.py"
+  # hbm_loop and hbm_sharded ride separate processes: together they
+  # compile the most XLA:CPU programs of any group (the sharded file's
+  # capacity-escalation tests compile a whole shape ladder), and a
+  # combined shard SEGFAULTED inside backend_compile_and_load at
+  # ~35 tests once — the exact accumulated-state crash this runner
+  # exists to contain.
+  [hbm_loop]="tests/test_hbm_loop.py"
+  [hbm_sharded]="tests/test_hbm_sharded.py"
   [dist]="tests/test_dist.py tests/test_tpu_smoke.py"
 )
 
