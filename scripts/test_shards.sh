@@ -23,7 +23,7 @@ fi
 
 declare -a GROUPS_NAMES=(host tokenizer kernels trainer hbm_loop hbm_sharded dist)
 declare -A GROUP_FILES=(
-  [host]="tests/test_pretok.py tests/test_native.py tests/test_train_bpe_gpt2.py tests/test_bigvocab.py"
+  [host]="tests/test_pretok.py tests/test_native.py tests/test_train_bpe_gpt2.py tests/test_bigvocab.py tests/test_bench_guard.py"
   [tokenizer]="tests/test_tokenizer.py tests/test_tokenizer_gpt2.py"
   [kernels]="tests/test_kernels.py tests/test_fused_kernel.py tests/test_replay_emit.py"
   [trainer]="tests/test_trainer.py tests/test_reference_cross.py"
