@@ -128,6 +128,7 @@ def test_hbm_kernel_early_stop_interpret(small_corpus):
     assert (merges_ids == -1).all()
 
 
+@pytest.mark.chip
 @pytest.mark.skipif(
     __import__("os").environ.get("YABPE_TEST_TPU", "0") != "1",
     reason="real-chip compile (set YABPE_TEST_TPU=1)",
